@@ -1,9 +1,13 @@
 """Test harness: force an 8-device CPU mesh so multi-chip sharding paths run
-without TPU hardware (SURVEY.md section 4 'multi-node without a cluster')."""
+without TPU hardware (SURVEY.md section 4 'multi-node without a cluster').
+
+Note: this container's sitecustomize registers the axon TPU plugin and pins
+``jax_platforms=axon`` at interpreter start, so the JAX_PLATFORMS env var is
+not enough -- we must override via jax.config after import, before first use.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, jax.devices()
