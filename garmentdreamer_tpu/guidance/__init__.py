@@ -1,0 +1,40 @@
+"""2D diffusion priors: SD-2.1 UNet/VAE in Flax, schedules, prompts, SDS/VSD."""
+
+from garmentdreamer_tpu.guidance.scheduler import (
+    DiffusionSchedule,
+    add_noise,
+    ddim_step,
+    eps_from_velocity,
+    make_schedule,
+    velocity_from_eps,
+)
+from garmentdreamer_tpu.guidance.unet import UNet2DCondition, UNetConfig
+from garmentdreamer_tpu.guidance.vae import AutoencoderKL, VAEConfig
+from garmentdreamer_tpu.guidance.prompt import (
+    PromptConfig,
+    PromptEmbeddings,
+    PromptProcessor,
+    select_text_embeddings,
+    view_direction_index,
+)
+from garmentdreamer_tpu.guidance.sds import SDSConfig, SDSGuidance
+
+__all__ = [
+    "DiffusionSchedule",
+    "make_schedule",
+    "add_noise",
+    "ddim_step",
+    "velocity_from_eps",
+    "eps_from_velocity",
+    "UNet2DCondition",
+    "UNetConfig",
+    "AutoencoderKL",
+    "VAEConfig",
+    "PromptConfig",
+    "PromptEmbeddings",
+    "PromptProcessor",
+    "select_text_embeddings",
+    "view_direction_index",
+    "SDSConfig",
+    "SDSGuidance",
+]

@@ -1,0 +1,207 @@
+"""View-dependent prompt processing with on-disk embedding cache.
+
+TPU re-design of the reference prompt processor (reference:
+threestudio/models/prompt_processors/base.py:173-523 +
+stable_diffusion_prompt_processor.py:15-101):
+
+* four direction prompts -- side / front / back / overhead -- selected per view
+  by azimuth/elevation thresholds (front/back 45 deg, overhead 60 deg), later
+  conditions overriding earlier ones (base.py:51-78);
+* positive head/tail wrapping: ``head + prompt_vd + ". " + tail``
+  (base.py:326-330);
+* embeddings cached to ``.gdtpu_cache/text_embeddings/{md5}.npz`` keyed on
+  (model, prompt) like the reference's ``.threestudio_cache`` (base.py:19-23).
+
+The reference spawns a subprocess so the text encoder's VRAM is freed
+(base.py:377-395); here the encoder runs once on host (torch CPU or any
+callable), is garbage-collected afterwards, and only the cached arrays enter
+the jitted graph -- no subprocess needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass, field
+from typing import Callable, List, NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "DIRECTION_NAMES",
+    "PromptConfig",
+    "PromptEmbeddings",
+    "shift_azimuth_deg",
+    "view_direction_index",
+    "compose_view_prompts",
+    "PromptProcessor",
+    "select_text_embeddings",
+]
+
+DIRECTION_NAMES = ("side", "front", "back", "overhead")
+
+
+@dataclass
+class PromptConfig:
+    prompt: str = ""
+    negative_prompt: str = ""
+    positive_prompt_head: str = ""
+    positive_prompt_tail: str = ""
+    front_threshold: float = 45.0
+    back_threshold: float = 45.0
+    overhead_threshold: float = 60.0
+    view_dependent_prompt_front: bool = False
+    pretrained_model_name_or_path: str = "stabilityai/stable-diffusion-2-1-base"
+    cache_dir: str = ".gdtpu_cache/text_embeddings"
+
+
+class PromptEmbeddings(NamedTuple):
+    """All embeddings the training loop needs, as device-ready arrays."""
+
+    text_vd: jnp.ndarray  # (4, L, D) view-dependent positive
+    uncond_vd: jnp.ndarray  # (4, L, D) negative
+    text: jnp.ndarray  # (L, D) plain positive
+    uncond: jnp.ndarray  # (L, D) plain negative
+
+
+def shift_azimuth_deg(azimuth: jnp.ndarray) -> jnp.ndarray:
+    """Wrap to (-180, 180]."""
+    return (azimuth + 180.0) % 360.0 - 180.0
+
+
+def view_direction_index(
+    elevation_deg: jnp.ndarray,
+    azimuth_deg: jnp.ndarray,
+    front_threshold: float = 45.0,
+    back_threshold: float = 45.0,
+    overhead_threshold: float = 60.0,
+) -> jnp.ndarray:
+    """(B,) int32 direction id; later conditions override (side<front<back<overhead)."""
+    azi = shift_azimuth_deg(azimuth_deg)
+    idx = jnp.zeros_like(elevation_deg, jnp.int32)  # side
+    idx = jnp.where((azi > -front_threshold) & (azi < front_threshold), 1, idx)
+    idx = jnp.where((azi > 180 - back_threshold) | (azi < -180 + back_threshold), 2, idx)
+    idx = jnp.where(elevation_deg > overhead_threshold, 3, idx)
+    return idx
+
+
+def compose_view_prompts(cfg: PromptConfig) -> List[str]:
+    """The four positive prompts, wrapped with head/tail."""
+    p = cfg.prompt
+    if cfg.view_dependent_prompt_front:
+        vd = [f"side view of {p}", f"front view of {p}", f"backside view of {p}", f"overhead view of {p}"]
+    else:
+        vd = [f"{p}, side view", f"{p}, front view", f"{p}, back view", f"{p}, overhead view"]
+    return [cfg.positive_prompt_head + v + ". " + cfg.positive_prompt_tail for v in vd]
+
+
+class PromptProcessor:
+    """Embeds (and caches) the prompt set with a pluggable text encoder.
+
+    ``encode_fn(prompts: list[str]) -> np.ndarray (N, L, D)``. Pass
+    :func:`make_clip_encode_fn` for a real CLIP checkpoint, or any stub for
+    tests / weight-free environments.
+    """
+
+    def __init__(self, cfg: PromptConfig, encode_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self._encode_fn = encode_fn
+        self.embeddings = self._load_or_compute()
+
+    # -- cache ----------------------------------------------------------------
+    def _cache_key(self) -> str:
+        payload = f"{self.cfg.pretrained_model_name_or_path}::{self.cfg.prompt}::{self.cfg.negative_prompt}::{self.cfg.positive_prompt_head}::{self.cfg.positive_prompt_tail}"
+        return hashlib.md5(payload.encode()).hexdigest()
+
+    def _cache_path(self) -> str:
+        return os.path.join(self.cfg.cache_dir, f"{self._cache_key()}.npz")
+
+    def _load_or_compute(self) -> PromptEmbeddings:
+        path = self._cache_path()
+        if os.path.exists(path):
+            z = np.load(path)
+            return PromptEmbeddings(
+                text_vd=jnp.asarray(z["text_vd"]),
+                uncond_vd=jnp.asarray(z["uncond_vd"]),
+                text=jnp.asarray(z["text"]),
+                uncond=jnp.asarray(z["uncond"]),
+            )
+        if self._encode_fn is None:
+            raise RuntimeError(
+                f"no cached embeddings at {path} and no encode_fn provided"
+            )
+        prompts_vd = compose_view_prompts(self.cfg)
+        plain = self.cfg.positive_prompt_head + self.cfg.prompt + ". " + self.cfg.positive_prompt_tail
+        all_prompts = prompts_vd + [self.cfg.negative_prompt] * 4 + [plain, self.cfg.negative_prompt]
+        emb = np.asarray(self._encode_fn(all_prompts), np.float32)
+        out = PromptEmbeddings(
+            text_vd=jnp.asarray(emb[0:4]),
+            uncond_vd=jnp.asarray(emb[4:8]),
+            text=jnp.asarray(emb[8]),
+            uncond=jnp.asarray(emb[9]),
+        )
+        os.makedirs(self.cfg.cache_dir, exist_ok=True)
+        np.savez(
+            path,
+            text_vd=np.asarray(out.text_vd),
+            uncond_vd=np.asarray(out.uncond_vd),
+            text=np.asarray(out.text),
+            uncond=np.asarray(out.uncond),
+        )
+        return out
+
+    def __call__(self) -> PromptEmbeddings:
+        return self.embeddings
+
+
+def select_text_embeddings(
+    emb: PromptEmbeddings,
+    elevation_deg: jnp.ndarray,
+    azimuth_deg: jnp.ndarray,
+    view_dependent: bool = True,
+    front_threshold: float = 45.0,
+    back_threshold: float = 45.0,
+    overhead_threshold: float = 60.0,
+) -> jnp.ndarray:
+    """(2B, L, D): conditional embeddings first, then unconditional
+    (the reference's cond-then-uncond order, base.py:76-78)."""
+    B = elevation_deg.shape[0]
+    if view_dependent:
+        idx = view_direction_index(
+            elevation_deg, azimuth_deg, front_threshold, back_threshold, overhead_threshold
+        )
+        cond = emb.text_vd[idx]
+        uncond = emb.uncond_vd[idx]
+    else:
+        cond = jnp.broadcast_to(emb.text[None], (B,) + emb.text.shape)
+        uncond = jnp.broadcast_to(emb.uncond[None], (B,) + emb.uncond.shape)
+    return jnp.concatenate([cond, uncond], axis=0)
+
+
+def make_clip_encode_fn(model_path: str, max_length: int = 77) -> Callable:
+    """Text encoder via transformers CLIPTextModel on host CPU.
+
+    Runs once per prompt set; the model is freed immediately after (the
+    reference deletes its text encoder too, stable_diffusion_guidance.py:92-93).
+    """
+
+    def encode(prompts: Sequence[str]) -> np.ndarray:
+        import torch
+        from transformers import AutoTokenizer, CLIPTextModel
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path, subfolder="tokenizer")
+        model = CLIPTextModel.from_pretrained(model_path, subfolder="text_encoder")
+        with torch.no_grad():
+            tokens = tokenizer(
+                list(prompts),
+                padding="max_length",
+                max_length=max_length,
+                truncation=True,
+                return_tensors="pt",
+            )
+            out = model(tokens.input_ids).last_hidden_state
+        del model, tokenizer
+        return out.float().numpy()
+
+    return encode
