@@ -1,0 +1,410 @@
+"""Stage-3 deformation driver: optimize per-vertex offsets of the garment
+template so its rendered masks/normals match the stage-1 splat renders and
+stage-2 estimated normals.
+
+TPU-native rebuild of the reference two-stage loop
+(reference: Garment_Deformer_NeTF/deformation.py:41-419; config defaults
+configs/garment_deformer_configs.yml). Structure preserved:
+
+* template axis permute (z,x,y) and x ``bound`` scale
+  (deformer/tools/adjust_mesh.py:4-23);
+* AABB -> 2-cube space normalization of mesh AND views (deformation.py:103-111,
+  SpaceNormalization);
+* near/far from normalized AABB corner distances, epsilon 0.5
+  (deformation.py:115, renderer.py:21-34);
+* stage 1 (3000 it): one random view from [74, 333); losses mask 2 /
+  normal_consistency 0.1 / laplacian 800; persistent Adam lr 1e-3 on offsets
+  (deformation.py:143-216);
+* stage 2 (1000 it): one of 32 picked views; losses hole_mask 2 / mask 2 /
+  nc 0.1 / laplacian 40 / enhanced normal 0.8 / shading 1.0; only VISIBLE
+  vertices step, and the reference creates a FRESH Adam for them each
+  iteration (deformation.py:304-313) -- a single Adam step from zero state is
+  exactly ``lr * g / (|g| + eps)``, so we apply that closed form as a masked
+  update instead of rebuilding optimizer state (same numerics, no host sync);
+  the shader's Adam is persistent (deformation.py:140);
+* remesh at 3500 with half average edge length, x4 laplacian/nc weights,
+  x0.25 lr (deformation.py:273-295) -- via the native geometry library when
+  built, otherwise skipped with a warning (gpytoolbox is not vendored);
+* export: denormalize, write mesh_{N}.obj, then final_mesh.obj post-processed
+  (rotate -90deg about x, decimate to 40k faces) (deformation.py:410-414,
+  deformer/utils/io.py:18-37).
+
+TPU design notes: each iteration is ONE jitted step (render + all losses +
+grads + optimizer update) with static shapes; the 407-view target set stays in
+host RAM and one view's targets stream to the device per step; visibility uses
+a 2x-supersampled face-id pass (see rast/gbuffer.py docstring for the 8x->2x
+rationale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from garmentdreamer_tpu.core import io as gio
+from garmentdreamer_tpu.meshops import (
+    LoadedView,
+    NeuralShader,
+    NeuralShaderConfig,
+    aabb_normalization,
+    build_topology,
+    hole_mask_loss,
+    laplacian_loss,
+    load_views,
+    mask_loss,
+    normal_consistency_loss,
+    normal_map_loss,
+    normal_map_loss_enhanced,
+    shading_loss_inputs,
+    transform_view,
+    vertex_normals,
+)
+from garmentdreamer_tpu.rast import gl_mvp, near_far_from_aabb, render_gbuffer, vertex_visibility
+
+__all__ = ["DeformerConfig", "deformation"]
+
+
+@dataclasses.dataclass
+class DeformerConfig:
+    """Defaults = configs/garment_deformer_configs.yml."""
+
+    iterations_first: int = 3000
+    iterations_second: int = 1000
+    upsample_iterations: Tuple[int, ...] = (3500,)
+    lr_vertices: float = 1e-3
+    lr_shader: float = 1e-3
+    enhanced_normal_map_loss: bool = True
+    optim_only_visible: bool = True
+    weight_hole_mask: float = 2.0
+    weight_mask: float = 2.0
+    weight_normal_consistency: float = 0.1
+    weight_laplacian: float = 40.0
+    weight_normal: float = 0.8
+    weight_shading: float = 1.0
+    shading_percentage: float = 0.75
+    shading_samples: int = 65536
+    picked_views_first: Tuple[int, int] = (74, 333)
+    picked_views_second: Tuple[int, ...] = (
+        111, 115, 120, 125, 129, 133, 138, 143,
+        221, 189, 194, 199, 203, 207, 212, 217,
+        259, 263, 268, 273, 277, 281, 286, 291,
+    )
+    # loss weights for the FIRST stage are fixed in code (deformation.py:143-147)
+    first_stage_weights: Tuple[float, float, float] = (2.0, 0.1, 800.0)
+    visibility_upsample: int = 2
+    max_tiles_per_tri: int = 32
+    max_per_tile: int = 512
+    save_frequency: int = 500
+    seed: int = 12
+    decimate_target: int = 40000
+
+
+def _adjust_and_scale(verts: np.ndarray, bound: float) -> np.ndarray:
+    """Axis permute (x,y,z) <- (z,x,y) then scale by bound
+    (adjust_mesh.py:10-20)."""
+    out = np.empty_like(verts)
+    out[:, 0] = verts[:, 2]
+    out[:, 1] = verts[:, 0]
+    out[:, 2] = verts[:, 1]
+    return out * bound
+
+
+def _stack_view_arrays(views: List[LoadedView]):
+    return {
+        "normal": np.stack([v.normal for v in views]),
+        "mask": np.stack([v.mask for v in views]),
+        "rgb": np.stack([v.rgb for v in views]),
+    }
+
+
+def deformation(
+    sample_dir: str,
+    template_path: str,
+    bound: float,
+    cfg: Optional[DeformerConfig] = None,
+    output_dir: Optional[str] = None,
+    views: Optional[List[LoadedView]] = None,
+) -> str:
+    cfg = cfg or DeformerConfig()
+    rng = np.random.RandomState(cfg.seed)
+    output_dir = output_dir or os.path.join(sample_dir, "deformation_check")
+    meshes_dir = os.path.join(output_dir, "meshes")
+    os.makedirs(meshes_dir, exist_ok=True)
+
+    # ---- load ----
+    if views is None:
+        views = load_views(sample_dir)
+    H, W = views[0].resolution
+
+    obj = gio.load_obj(template_path)
+    verts0 = _adjust_and_scale(np.asarray(obj.vertices, np.float32), bound)
+    faces_np = np.asarray(obj.faces, np.int32)
+    topo = build_topology(faces_np, verts0.shape[0])
+
+    # ---- space normalization (deformation.py:103-111) ----
+    A, A_inv = aabb_normalization(verts0, side_length=2.0)
+    scale = float(A[0, 0])
+    verts0 = verts0 @ A[:3, :3].T + A[:3, 3]
+    views = [transform_view(v, A_inv, scale) for v in views]
+
+    aabb_n = np.stack([verts0.min(0), verts0.max(0)])
+    corner_pts = np.stack(
+        np.meshgrid(aabb_n[:, 0], aabb_n[:, 1], aabb_n[:, 2], indexing="ij"), -1
+    ).reshape(-1, 3)
+    nears, fars = [], []
+    for v in views:
+        n_, f_ = near_far_from_aabb(v.R, v.t, v.K, corner_pts, epsilon=0.5)
+        nears.append(n_)
+        fars.append(f_)
+    near, far = min(nears), max(fars)
+
+    mvps = np.stack([gl_mvp(v.K, v.R, v.t, H, W, near, far) for v in views])
+    centers = np.stack([v.center for v in views]).astype(np.float32)
+    Rs = np.stack([v.R for v in views]).astype(np.float32)
+    targets = _stack_view_arrays(views)
+
+    faces = jnp.asarray(topo.faces)
+    edges = jnp.asarray(topo.edges)
+    degree = jnp.asarray(topo.degree)
+    connected = jnp.asarray(topo.connected_faces)
+    v0 = jnp.asarray(verts0)
+    V = verts0.shape[0]
+
+    # ---- shader ----
+    shader = NeuralShader(NeuralShaderConfig())
+    shader_params = shader.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.zeros((1, 3))
+    )
+    shader_opt = optax.adam(cfg.lr_shader)
+    shader_opt_state = shader_opt.init(shader_params)
+
+    vertex_opt = optax.adam(cfg.lr_vertices)
+    vertex_opt_state = vertex_opt.init(jnp.zeros_like(v0))
+
+    w_mask1, w_nc1, w_lap1 = cfg.first_stage_weights
+
+    # ---- stage-1 jitted step ----
+    @jax.jit
+    def step1(offsets, opt_state, mvp, tgt_mask):
+        def loss_fn(off):
+            verts = v0 + off
+            vn = vertex_normals(verts, faces, V)
+            g = render_gbuffer(
+                verts, faces, vn, mvp, H, W,
+                cfg.max_tiles_per_tri, cfg.max_per_tile,
+            )
+            l_mask = mask_loss(tgt_mask, g["mask"])
+            l_nc = normal_consistency_loss(verts, faces, connected)
+            l_lap = laplacian_loss(verts, edges, degree)
+            return w_mask1 * l_mask + w_nc1 * l_nc + w_lap1 * l_lap, (l_mask, l_nc, l_lap)
+
+        (loss, aux), grad = jax.value_and_grad(loss_fn, has_aux=True)(offsets)
+        updates, opt_state = vertex_opt.update(grad, opt_state)
+        return optax.apply_updates(offsets, updates), opt_state, loss
+
+    # ---- stage-2 jitted step ----
+    stage2_weights = {
+        "hole_mask": cfg.weight_hole_mask,
+        "mask": cfg.weight_mask,
+        "normal_consistency": cfg.weight_normal_consistency,
+        "laplacian": cfg.weight_laplacian,
+        "normal": cfg.weight_normal,
+        "shading": cfg.weight_shading,
+    }
+
+    def make_step2(lr_vertices: float, w_lap: float, w_nc: float):
+        @jax.jit
+        def step2(offsets, rf_verts, sh_params, sh_opt_state, mvp, cam_R, cam_c,
+                  tgt_mask, tgt_normal, tgt_rgb, vis, key):
+            rf_vn = vertex_normals(rf_verts, faces, V)
+            g_rf = jax.lax.stop_gradient(
+                render_gbuffer(rf_verts, faces, rf_vn, mvp, H, W,
+                               cfg.max_tiles_per_tri, cfg.max_per_tile)
+            )
+
+            def loss_fn(off, sp):
+                verts = v0 + off
+                vn = vertex_normals(verts, faces, V)
+                g = render_gbuffer(verts, faces, vn, mvp, H, W,
+                                   cfg.max_tiles_per_tri, cfg.max_per_tile)
+                l = {}
+                l["hole_mask"] = hole_mask_loss(g, g_rf, cam_R, cam_c)
+                l["mask"] = mask_loss(tgt_mask, g["mask"])
+                l["normal_consistency"] = normal_consistency_loss(verts, faces, connected)
+                l["laplacian"] = laplacian_loss(verts, edges, degree)
+                if cfg.enhanced_normal_map_loss:
+                    l["normal"] = normal_map_loss_enhanced(
+                        tgt_normal, tgt_mask, g, cam_R, cam_c
+                    )
+                else:
+                    l["normal"] = normal_map_loss(tgt_normal, tgt_mask, g, cam_R)
+                si = shading_loss_inputs(
+                    tgt_rgb, tgt_mask, g, cam_R, cam_c, key,
+                    cfg.shading_samples, cfg.shading_percentage,
+                )
+                pred = shader.apply(sp, si.position, si.normal, si.view_dir)
+                denom = jnp.maximum(jnp.sum(si.weight), 1.0)
+                l["shading"] = jnp.sum(
+                    jnp.abs(pred - si.target_rgb) * si.weight[:, None]
+                ) / (denom * 3)
+                # post-remesh weight bumps replace the yml laplacian/nc weights
+                # (deformation.py:287-290)
+                weights = dict(stage2_weights)
+                weights["laplacian"] = w_lap
+                weights["normal_consistency"] = w_nc
+                total = sum(weights[k] * v for k, v in l.items())
+                return total, l
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, (0, 1), has_aux=True)(
+                offsets, sh_params
+            )
+            g_off, g_sh = grads
+            # fresh-Adam single step == lr * g / (|g| + eps) on visible verts
+            # (deformation.py:304-313; Adam bias-corrected first step)
+            upd = -lr_vertices * g_off / (jnp.abs(g_off) + 1e-8)
+            offsets = jnp.where(vis[:, None], offsets + upd, offsets)
+
+            sh_updates, sh_opt_state = shader_opt.update(g_sh, sh_opt_state)
+            sh_params = optax.apply_updates(sh_params, sh_updates)
+            return offsets, sh_params, sh_opt_state, loss
+
+        return step2
+
+    # =========================== stage 1 ===========================
+    offsets = jnp.zeros_like(v0)
+    lo, hi = cfg.picked_views_first
+    view_pool1 = [i for i in range(lo, min(hi, len(views)))] or list(range(len(views)))
+    for it in range(1, cfg.iterations_first + 1):
+        vi = int(rng.choice(view_pool1))
+        offsets, vertex_opt_state, loss = step1(
+            offsets,
+            vertex_opt_state,
+            jnp.asarray(mvps[vi]),
+            jnp.asarray(targets["mask"][vi]),
+        )
+        if cfg.save_frequency > 0 and (it == 1 or it % cfg.save_frequency == 0):
+            _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv)
+
+    # =========================== stage 2 ===========================
+    rf_verts = v0 + jax.lax.stop_gradient(offsets)
+    view_pool2 = [i for i in cfg.picked_views_second if i < len(views)] or view_pool1
+    lr_v = cfg.lr_vertices
+    w_lap, w_nc = cfg.weight_laplacian, cfg.weight_normal_consistency
+    step2 = make_step2(lr_v, w_lap, w_nc)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    total_second = cfg.iterations_first + cfg.iterations_second
+    for it in range(cfg.iterations_first + 1, total_second + 1):
+        if it in cfg.upsample_iterations:
+            new = _try_remesh(v0 + offsets, topo)
+            if new is not None:
+                verts_new, topo = new
+                v0 = jnp.asarray(verts_new)
+                V = verts_new.shape[0]
+                faces = jnp.asarray(topo.faces)
+                edges = jnp.asarray(topo.edges)
+                degree = jnp.asarray(topo.degree)
+                connected = jnp.asarray(topo.connected_faces)
+                offsets = jnp.zeros_like(v0)
+                # the reference keeps rf_mesh on the pre-remesh topology
+                # (deformation.py:265); we rebase it on the remeshed surface
+                # (same geometry, valid topology for the jitted renderer)
+                rf_verts = v0
+            w_lap *= 4
+            w_nc *= 4
+            lr_v *= 0.25
+            step2 = make_step2(lr_v, w_lap, w_nc)
+
+        vi = int(rng.choice(view_pool2))
+        mvp_d = jnp.asarray(mvps[vi])
+        verts_now = v0 + offsets
+        vis = vertex_visibility(
+            verts_now, faces, mvp_d[None], H, W, int(verts_now.shape[0]),
+            cfg.visibility_upsample, cfg.max_tiles_per_tri, cfg.max_per_tile,
+        ) if cfg.optim_only_visible else jnp.ones((verts_now.shape[0],), bool)
+
+        key, sub = jax.random.split(key)
+        offsets, shader_params, shader_opt_state, loss = step2(
+            offsets, rf_verts, shader_params, shader_opt_state,
+            mvp_d, jnp.asarray(Rs[vi]), jnp.asarray(centers[vi]),
+            jnp.asarray(targets["mask"][vi]),
+            jnp.asarray(targets["normal"][vi]),
+            jnp.asarray(targets["rgb"][vi]),
+            vis, sub,
+        )
+        if cfg.save_frequency > 0 and it % cfg.save_frequency == 0:
+            _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv)
+
+    # =========================== export ===========================
+    final_local = np.asarray(v0 + offsets)
+    final_world = final_local @ A_inv[:3, :3].T + A_inv[:3, 3]
+    gio.save_obj(
+        os.path.join(meshes_dir, f"mesh_{total_second:06d}.obj"),
+        gio.ObjMesh(vertices=final_world, faces=topo.faces),
+    )
+    final_path = os.path.join(os.path.dirname(output_dir), "final_mesh.obj")
+    _write_final_mesh(final_path, final_world, topo.faces, cfg.decimate_target)
+    return final_path
+
+
+def _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv):
+    v = np.asarray(v0 + offsets)
+    v = v @ A_inv[:3, :3].T + A_inv[:3, 3]
+    gio.save_obj(
+        os.path.join(meshes_dir, f"mesh_{it:06d}.obj"),
+        gio.ObjMesh(vertices=v, faces=topo.faces),
+    )
+
+
+def _try_remesh(verts, topo):
+    """Botsch-Kobbelt remesh at half the average edge length via the native
+    geometry library (deformation.py:273-295). Returns None (skip) if the
+    library is unavailable."""
+    try:
+        from garmentdreamer_tpu.native import geometry as ng
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "native geometry library not built; skipping remesh at upsample "
+            "iteration (reference uses gpytoolbox.remesh_botsch)"
+        )
+        return None
+    v = np.asarray(verts, np.float64)
+    e = topo.edges
+    h = float(np.linalg.norm(v[e[:, 0]] - v[e[:, 1]], axis=-1).mean() / 2)
+    v2, f2 = ng.remesh(v, topo.faces, target_edge_length=h)
+    return v2.astype(np.float32), build_topology(f2, v2.shape[0])
+
+
+def _write_final_mesh(path, verts, faces, decimate_target):
+    """Rotate -90deg about x, decimate to 40k faces (io.py:18-37) -- decimation
+    via the native geometry library when available."""
+    ang = np.radians(-90.0)
+    Rx = np.array(
+        [[1, 0, 0], [0, np.cos(ang), -np.sin(ang)], [0, np.sin(ang), np.cos(ang)]],
+        np.float32,
+    )
+    v = verts @ Rx.T
+    f = faces
+    if f.shape[0] > decimate_target:
+        try:
+            from garmentdreamer_tpu.native import geometry as ng
+
+            v, f = ng.decimate(v.astype(np.float64), f, target_faces=decimate_target)
+            v = v.astype(np.float32)
+            f = f.astype(np.int32)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                "native geometry library not built; exporting undecimated mesh"
+            )
+    gio.save_obj(path, gio.ObjMesh(vertices=v, faces=f))
