@@ -1,0 +1,156 @@
+"""NeTF textured-mesh renderer: rasterize the deformed mesh and query a
+hash-grid + MLP texture field at the interpolated surface points.
+
+TPU-native rebuild of the reference renderer
+(reference: netf/render/mesh_renderer.py:105-428 built on nvdiffrast + tcnn):
+
+* clip transform: v_cam = [v,1] @ inv(pose).T, v_clip = v_cam @ proj.T
+  (mesh_renderer.py:356-358);
+* alpha is the antialiased coverage ("important to enable gradients",
+  :362-363);
+* albedo = sigmoid(mlp(encoder(xyz))) at interpolated WORLD positions
+  (:368-374) -- here the query runs over the full pixel grid (masked), which
+  on TPU is cheaper than gather/scatter of a dynamic pixel subset;
+* normals recomputed from geometry when it is unfrozen (:382-399);
+* view-cosine mask for 'outside surface' pixels, no_grad (:402-407);
+* mesh cleaning on load (weld + drop tiny components) == kiui clean_mesh
+  (:117-121).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from garmentdreamer_tpu.meshops.mesh import vertex_normals
+from garmentdreamer_tpu.rast import antialias, barycentrics, interpolate, rasterize
+from garmentdreamer_tpu.texture.encoders import HashGridConfig, HashGridEncoder, MLP
+
+__all__ = ["TextureField", "render_textured", "clean_mesh"]
+
+
+class TextureField:
+    """Hash-grid encoder + small MLP head (mesh_renderer.py:132-142)."""
+
+    def __init__(self, rng: jax.Array, cfg: HashGridConfig = HashGridConfig()):
+        self.encoder = HashGridEncoder(cfg)
+        self.mlp = MLP(dim_out=3, dim_hidden=32, num_layers=2)
+        r1, r2 = jax.random.split(rng)
+        x0 = jnp.zeros((1, 3))
+        self.params = {
+            "encoder": self.encoder.init(r1, x0),
+            "mlp": self.mlp.init(r2, jnp.zeros((1, cfg.output_dim))),
+        }
+
+    def query(self, params, xyz: jnp.ndarray, bound: float = 1.0) -> jnp.ndarray:
+        """(N,3) -> (N,3) sigmoid albedo."""
+        h = self.encoder.apply(params["encoder"], xyz, bound)
+        return jax.nn.sigmoid(self.mlp.apply(params["mlp"], h))
+
+
+def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_f: int = 32,
+               weld_eps: float = 1e-5) -> Tuple[np.ndarray, np.ndarray]:
+    """Weld coincident vertices and drop connected components with < min_f
+    faces (kiui clean_mesh role, mesh_renderer.py:117-121)."""
+    # weld
+    key = np.round(verts / max(weld_eps, 1e-12)).astype(np.int64)
+    _, first, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    verts2 = verts[first]
+    faces2 = inv[faces]
+    # drop degenerate
+    ok = (
+        (faces2[:, 0] != faces2[:, 1])
+        & (faces2[:, 1] != faces2[:, 2])
+        & (faces2[:, 0] != faces2[:, 2])
+    )
+    faces2 = faces2[ok]
+    # connected components over shared vertices (union-find)
+    parent = np.arange(len(verts2))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for f in faces2:
+        ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
+        parent[rb] = ra
+        parent[rc] = ra
+    roots = np.array([find(v) for v in faces2[:, 0]])
+    uniq, counts = np.unique(roots, return_counts=True)
+    keep_roots = set(uniq[counts >= min_f].tolist())
+    keep = np.array([r in keep_roots for r in roots])
+    faces2 = faces2[keep]
+    # compact vertices
+    used = np.unique(faces2)
+    remap = np.full(len(verts2), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts2[used].astype(np.float32), remap[faces2].astype(np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_tiles_per_tri", "max_per_tile", "bg_color", "texture_field"),
+)
+def render_textured(
+    tex_params,
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    pose: jnp.ndarray,  # (4,4) OpenGL c2w
+    proj: jnp.ndarray,  # (4,4)
+    height: int,
+    width: int,
+    texture_field: "TextureField",
+    bg_color: float = 1.0,
+    max_tiles_per_tri: int = 32,
+    max_per_tile: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """One view -> image/alpha/depth/normal/cosinesview (mesh_renderer.py:338-428)."""
+    vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=1)
+    v_cam = vh @ jnp.linalg.inv(pose).T
+    clip = v_cam @ proj.T
+
+    rast = rasterize(clip, faces, height, width, max_tiles_per_tri, max_per_tile)
+    fid = rast.face_id
+    bary = barycentrics(clip, faces, fid, height, width)
+
+    alpha_hard = (fid >= 0).astype(jnp.float32)[..., None]
+    alpha = jnp.clip(antialias(alpha_hard, clip, faces, fid, height, width), 0.0, 1.0)
+
+    depth = interpolate(-v_cam[:, 2:3], faces, fid, bary)
+    xyz = interpolate(verts, faces, fid, bary)  # (H,W,3)
+
+    albedo = texture_field.query(tex_params, xyz.reshape(-1, 3)).reshape(height, width, 3)
+    albedo = jnp.where((fid >= 0)[..., None], albedo, 0.0)
+    color = jnp.clip(antialias(albedo, clip, faces, fid, height, width), 0.0, 1.0)
+    color = alpha * color + (1.0 - alpha) * bg_color
+
+    vn = vertex_normals(verts, faces)
+    normal_raw = interpolate(vn, faces, fid, bary)
+    normal = normal_raw / jnp.maximum(
+        jnp.linalg.norm(normal_raw, axis=-1, keepdims=True), 1e-8
+    )
+
+    # view-cosine mask (no grad, mesh_renderer.py:402-407)
+    pos_aa = jax.lax.stop_gradient(antialias(xyz, clip, faces, fid, height, width))
+    nrm_aa = jax.lax.stop_gradient(antialias(normal_raw, clip, faces, fid, height, width))
+    vd = pos_aa - pose[:3, 3]
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
+    cosv = jnp.sum(vd * nrm_aa, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(nrm_aa, axis=-1), 1e-6
+    )
+
+    return {
+        "image": color,
+        "alpha": alpha,
+        "depth": depth,
+        "normal": (normal + 1.0) / 2.0,
+        "cosinesview": cosv,
+        "face_id": fid,
+    }

@@ -1,0 +1,296 @@
+"""Stage-4 NeTF trainer: fit a texture field on the deformed mesh from the
+stage-1 renders, then refine it with VSD.
+
+TPU-native rebuild of the reference trainer (netf/trainer.py:14-273 with
+configs/garment_netf_configs.yml defaults):
+
+* ``fit_texture`` (600 it @1024^2): per picked view, derive the render pose
+  from the cameras.json C2W via the reference's flip dance
+  (mesh_renderer.py:176-213), GL projection from the view K (:216-221), MSE on
+  pixels valid under render alpha AND flipud'ed view mask AND back-facing
+  view cosines (:224-230); Adam with hashgrid_lr 1e-2 / mlp_lr 1e-3;
+* ``train_vsd`` (200 it @512^2): random orbit view (ver in [-65,35), hor in
+  [-180,180), radius 5 + U[-3,1]) (trainer.py:176-181), VSD loss through
+  render -> VAE -> latents, gradient accumulated over batch_size_train=4
+  steps (:222-224); each step also runs K=1 LoRA v-pred updates with camera
+  conditioning and 10% pose dropout (:226-256), Adam lr 1e-4;
+* exports: final_mesh_fitted_texture.obj after fitting (mesh_renderer.py:146)
+  and final_mesh_finetuned.obj at the end (trainer.py:264-273), both with the
+  reverse x-flip.
+
+Each optimization step is one jitted function; the render resolution, mesh
+topology, and batch shapes are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from garmentdreamer_tpu.core import io as gio
+from garmentdreamer_tpu.guidance.vsd import VSDGuidance
+from garmentdreamer_tpu.netf.cameras import (
+    orbit_pose,
+    perspective,
+    projection_from_K,
+    reconstruction_pose,
+)
+from garmentdreamer_tpu.netf.export import export_textured_mesh
+from garmentdreamer_tpu.netf.renderer import TextureField, clean_mesh, render_textured
+
+__all__ = ["NeTFConfig", "NeTFTrainer"]
+
+
+@dataclasses.dataclass
+class NeTFConfig:
+    """Defaults = configs/garment_netf_configs.yml."""
+
+    iters: int = 200
+    fit_tex: bool = True
+    fit_tex_iters: int = 600
+    fit_resolution: int = 1024
+    render_resolution: int = 512
+    radius: float = 5.0
+    fovy: float = 49.1
+    hashgrid_lr: float = 1e-2
+    mlp_lr: float = 1e-3
+    unet_lr: float = 1e-4
+    batch_size_train: int = 4  # grad accumulation period
+    K: int = 1
+    K2: int = 1
+    uncond_p: float = 0.1
+    t5_iters: int = -1
+    texture_resolution: int = 1024
+    enhance: bool = True  # run the VSD refinement (reconstruction.py:26-28)
+    max_tiles_per_tri: int = 32
+    max_per_tile: int = 512
+    seed: int = 3407
+    reconstruction_picked_views: Tuple[int, ...] = (
+        111, 115, 120, 125, 129, 133, 138, 143,
+        148, 152, 157, 162, 166, 170, 175, 180,
+        221, 189, 194, 199, 203, 207, 212, 217,
+        222, 226, 231, 236, 240, 244, 249, 254,
+        259, 263, 268, 273, 277, 281, 286, 291,
+    )
+
+
+class NeTFTrainer:
+    def __init__(
+        self,
+        cfg: NeTFConfig,
+        mesh_path: str,
+        rgba_dir: str,
+        outdir: str,
+        guidance: Optional[VSDGuidance] = None,
+        text_embeddings: Optional[jnp.ndarray] = None,  # (2, L, D) pos ++ neg
+        q_params: Optional[Dict[str, Any]] = None,
+    ):
+        self.cfg = cfg
+        self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
+        self.guidance = guidance
+        self.text_embeddings = text_embeddings
+        self.q_params = q_params
+
+        obj = gio.load_obj(mesh_path)
+        v, f = clean_mesh(
+            np.asarray(obj.vertices, np.float32), np.asarray(obj.faces, np.int32)
+        )
+        self.verts = jnp.asarray(v)
+        self.faces = jnp.asarray(f)
+
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, sub = jax.random.split(self.rng)
+        self.field = TextureField(sub)
+        self.tex_params = self.field.params
+
+        self.tex_opt = optax.multi_transform(
+            {
+                "encoder": optax.adam(cfg.hashgrid_lr),
+                "mlp": optax.adam(cfg.mlp_lr),
+            },
+            {"encoder": "encoder", "mlp": "mlp"},
+        )
+        self.tex_opt_state = self.tex_opt.init(self.tex_params)
+        self.np_rng = np.random.RandomState(cfg.seed)
+
+    # ---------------- texture fitting (mesh_renderer.py:158-240) -----------
+    def load_views(self, sample_dir: str):
+        """Views for fitting: rgba renders + cameras.json C2W positions."""
+        import json
+
+        from PIL import Image
+
+        with open(os.path.join(sample_dir, "cameras.json")) as f:
+            cams = sorted(json.load(f), key=lambda x: x["id"])
+        rgba_dir = os.path.join(sample_dir, "gs_rendered_rgba")
+        views = []
+        for i in self.cfg.reconstruction_picked_views:
+            if i >= len(cams):
+                continue
+            img = np.asarray(Image.open(os.path.join(rgba_dir, f"{i}.png")), np.float32) / 255.0
+            info = cams[i]
+            K = np.array(
+                [[info["fx"], 0, info["width"] / 2],
+                 [0, info["fy"], info["height"] / 2],
+                 [0, 0, 1]],
+                np.float32,
+            )
+            pose = reconstruction_pose(np.array(info["position"]))
+            proj = projection_from_K(K, int(img.shape[1]), int(img.shape[0]))
+            views.append(
+                {
+                    "rgb": img[..., :3],
+                    "mask": img[..., 3],
+                    "pose": pose,
+                    "proj": proj,
+                }
+            )
+        if not views:
+            raise ValueError("no reconstruction views found")
+        return views
+
+    def fit_texture(self, sample_dir: str, save: bool = True) -> float:
+        cfg = self.cfg
+        views = self.load_views(sample_dir)
+        H = views[0]["rgb"].shape[0]
+        res = min(cfg.fit_resolution, H)
+        field = self.field
+        verts, faces = self.verts, self.faces
+        opt = self.tex_opt
+
+        @jax.jit
+        def step(params, opt_state, pose, proj, tgt_rgb, tgt_mask):
+            def loss_fn(p):
+                out = render_textured(
+                    p, verts, faces, pose, proj, res, res, field,
+                    max_tiles_per_tri=cfg.max_tiles_per_tri,
+                    max_per_tile=cfg.max_per_tile,
+                )
+                # valid: alpha>0 & flipud(view mask)>0 & cos<=0
+                # (mesh_renderer.py:228-230)
+                m = (
+                    (out["alpha"][..., 0] > 0)
+                    & (jnp.flipud(tgt_mask) > 0)
+                    & (out["cosinesview"] <= 0)
+                )
+                diff = (out["image"] - jnp.flipud(tgt_rgb)) ** 2
+                denom = jnp.maximum(jnp.sum(m), 1) * 3
+                return jnp.sum(jnp.where(m[..., None], diff, 0.0)) / denom
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        loss = 0.0
+        for it in range(cfg.fit_tex_iters):
+            v = views[self.np_rng.randint(len(views))]
+            tgt_rgb = v["rgb"]
+            tgt_mask = v["mask"]
+            if tgt_rgb.shape[0] != res:
+                sc = res / tgt_rgb.shape[0]
+                idx = (np.arange(res) / sc).astype(int)
+                tgt_rgb = tgt_rgb[idx][:, idx]
+                tgt_mask = tgt_mask[idx][:, idx]
+            self.tex_params, self.tex_opt_state, l = step(
+                self.tex_params, self.tex_opt_state,
+                jnp.asarray(v["pose"]), jnp.asarray(v["proj"]),
+                jnp.asarray(tgt_rgb), jnp.asarray(tgt_mask),
+            )
+            loss = float(l)
+        if save:
+            self.export(os.path.join(self.outdir, "final_mesh_fitted_texture.obj"))
+        return loss
+
+    # ---------------- VSD refinement (trainer.py:158-256) ------------------
+    def train_vsd(self) -> None:
+        cfg = self.cfg
+        if self.guidance is None:
+            raise ValueError("train_vsd requires a VSDGuidance")
+        proj = jnp.asarray(perspective(cfg.fovy))
+        field = self.field
+        verts, faces = self.verts, self.faces
+        guidance = self.guidance
+        text = self.text_embeddings
+        res = cfg.render_resolution
+        opt = self.tex_opt
+        lora_opt = optax.adam(cfg.unet_lr)
+        lora_opt_state = lora_opt.init(self.q_params)
+
+        @jax.jit
+        def vsd_step(params, pose, pose16, q_params, rng):
+            def loss_fn(p):
+                out = render_textured(
+                    p, verts, faces, pose, proj, res, res, field,
+                    max_tiles_per_tri=cfg.max_tiles_per_tri,
+                    max_per_tile=cfg.max_per_tile,
+                )
+                loss, latents = guidance.train_step(
+                    q_params, out["image"][None], text, pose16, rng
+                )
+                return loss, latents
+
+            (loss, latents), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return grads, loss, latents
+
+        @jax.jit
+        def lora_step(q_params, lora_opt_state, latents, pose16, rng):
+            def loss_fn(qp):
+                return guidance.lora_loss(
+                    qp, latents, text[:1], pose16, rng, cfg.uncond_p
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(q_params)
+            updates, lora_opt_state = lora_opt.update(grads, lora_opt_state)
+            return optax.apply_updates(q_params, updates), lora_opt_state, loss
+
+        accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
+        for step_i in range(1, cfg.iters + 1):
+            ver = self.np_rng.randint(-65, 35)
+            hor = self.np_rng.randint(-180, 180)
+            radius = self.np_rng.uniform() * 4 - 3
+            pose = jnp.asarray(orbit_pose(ver, hor, cfg.radius + radius))
+            pose16 = pose.reshape(1, 16)
+
+            self.rng, r1, r2 = jax.random.split(self.rng, 3)
+            grads, loss, latents = vsd_step(
+                self.tex_params, pose, pose16, self.q_params, r1
+            )
+            accum = jax.tree_util.tree_map(jnp.add, accum, grads)
+            if step_i % cfg.batch_size_train == 0 or step_i == cfg.iters:
+                updates, self.tex_opt_state = self.tex_opt.update(
+                    accum, self.tex_opt_state
+                )
+                self.tex_params = optax.apply_updates(self.tex_params, updates)
+                accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
+
+            if step_i % cfg.K2 == 0:
+                for _ in range(cfg.K):
+                    self.rng, r3 = jax.random.split(self.rng)
+                    self.q_params, lora_opt_state, _ = lora_step(
+                        self.q_params, lora_opt_state, latents, pose16, r3
+                    )
+
+        self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))
+
+    # ---------------- export ----------------------------------------------
+    def export(self, path: str) -> str:
+        params = self.tex_params
+        field = self.field
+
+        @jax.jit
+        def query(xyz):
+            return field.query(params, xyz)
+
+        return export_textured_mesh(
+            path, lambda x: query(jnp.asarray(x, jnp.float32)),
+            np.asarray(self.verts), np.asarray(self.faces),
+            texture_resolution=self.cfg.texture_resolution, reverse=True,
+        )

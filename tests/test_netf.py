@@ -1,0 +1,259 @@
+"""Stage-4 (NeTF) tests: hash grid, texture render, VSD math, UV export,
+and a miniature fit-texture + VSD run with a tiny UNet."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garmentdreamer_tpu.texture import HashGridConfig, HashGridEncoder, MLP, TriplaneEncoder
+from garmentdreamer_tpu.netf import (
+    NeTFConfig,
+    NeTFTrainer,
+    TextureField,
+    clean_mesh,
+    export_textured_mesh,
+    orbit_pose,
+    pack_uv_atlas,
+    perspective,
+    render_textured,
+)
+
+
+def sphere_mesh(n_theta=16, n_z=10, r=0.8):
+    t = np.linspace(0, 2 * np.pi, n_theta, endpoint=False)
+    zz = np.linspace(-0.9, 0.9, n_z)
+    verts, faces = [], []
+    for z in zz:
+        rr = r * np.sqrt(max(1 - z * z, 1e-6))
+        for a in t:
+            verts.append((rr * np.cos(a), rr * np.sin(a), r * z))
+    n = n_theta
+    for i in range(n_z - 1):
+        for j in range(n):
+            a_, b_ = i * n + j, i * n + (j + 1) % n
+            c_, d_ = (i + 1) * n + j, (i + 1) * n + (j + 1) % n
+            faces.append((a_, b_, d_))
+            faces.append((a_, d_, c_))
+    return np.array(verts, np.float32), np.array(faces, np.int32)
+
+
+class TestHashGrid:
+    def test_shapes_and_determinism(self):
+        cfg = HashGridConfig(num_levels=4, log2_hashmap_size=10, desired_resolution=64)
+        enc = HashGridEncoder(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (100, 3), minval=-1, maxval=1)
+        p = enc.init(jax.random.PRNGKey(1), x)
+        f1 = enc.apply(p, x)
+        f2 = enc.apply(p, x)
+        assert f1.shape == (100, cfg.output_dim)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    def test_interpolation_continuity(self):
+        """Nearby points produce nearby features (trilinear lerp, no jumps)."""
+        cfg = HashGridConfig(num_levels=4, log2_hashmap_size=12, desired_resolution=64)
+        enc = HashGridEncoder(cfg)
+        x0 = jnp.asarray([[0.3, -0.2, 0.5]])
+        p = enc.init(jax.random.PRNGKey(0), x0)
+        eps = 1e-4
+        f0 = enc.apply(p, x0)
+        f1 = enc.apply(p, x0 + eps)
+        assert float(jnp.abs(f1 - f0).max()) < 1e-2
+
+    def test_gradient_flows_to_table(self):
+        cfg = HashGridConfig(num_levels=2, log2_hashmap_size=8, desired_resolution=32)
+        enc = HashGridEncoder(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (10, 3), minval=-1, maxval=1)
+        p = enc.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda pp: jnp.sum(enc.apply(pp, x) ** 2))(p)
+        assert float(jnp.abs(g["params"]["table"]).max()) > 0
+
+    def test_level_resolutions(self):
+        cfg = HashGridConfig()
+        assert cfg.level_resolution(0) == 16
+        assert cfg.level_resolution(cfg.num_levels - 1) == 1024
+
+    def test_triplane_shape(self):
+        enc = TriplaneEncoder(output_dim=8, resolution=16)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (20, 3), minval=-1, maxval=1)
+        p = enc.init(jax.random.PRNGKey(1), x)
+        assert enc.apply(p, x).shape == (20, 8)
+
+
+class TestRenderTextured:
+    def test_render_outputs(self):
+        v, f = sphere_mesh()
+        field = TextureField(jax.random.PRNGKey(0))
+        pose = jnp.asarray(orbit_pose(10.0, 30.0, 3.0))
+        proj = jnp.asarray(perspective(49.1))
+        out = render_textured(
+            field.params, jnp.asarray(v), jnp.asarray(f), pose, proj,
+            64, 64, field, max_per_tile=128, max_tiles_per_tri=16,
+        )
+        a = np.asarray(out["alpha"])[..., 0]
+        assert 0.02 < a.mean() < 0.9
+        img = np.asarray(out["image"])
+        assert (img >= 0).all() and (img <= 1).all()
+        # background is bg_color=1
+        assert img[0, 0, 0] == 1.0
+
+    def test_texture_gradient_flows(self):
+        v, f = sphere_mesh(10, 6)
+        field = TextureField(jax.random.PRNGKey(0))
+        pose = jnp.asarray(orbit_pose(0.0, 0.0, 3.0))
+        proj = jnp.asarray(perspective(49.1))
+
+        def loss(p):
+            out = render_textured(
+                p, jnp.asarray(v), jnp.asarray(f), pose, proj, 32, 32, field,
+                max_per_tile=64, max_tiles_per_tri=16,
+            )
+            return jnp.mean(out["image"])
+
+        g = jax.grad(loss)(field.params)
+        gt = g["encoder"]["params"]["table"]
+        assert float(jnp.abs(gt).max()) > 0
+
+    def test_clean_mesh_drops_small_components(self):
+        v, f = sphere_mesh()
+        # add a floating triangle far away
+        v2 = np.concatenate([v, np.array([[5, 5, 5], [5.1, 5, 5], [5, 5.1, 5]], np.float32)])
+        f2 = np.concatenate([f, np.array([[len(v), len(v) + 1, len(v) + 2]], np.int32)])
+        cv, cf = clean_mesh(v2, f2, min_f=32)
+        assert cf.shape[0] == f.shape[0]
+        assert (np.abs(cv) < 2).all()
+
+
+class TestUVExport:
+    def test_pack_uv_atlas_in_bounds_nonoverlapping(self):
+        v, f = sphere_mesh(8, 5)
+        vt, ft = pack_uv_atlas(v, f)
+        assert vt.shape == (len(f) * 3, 2)
+        assert (vt >= 0).all() and (vt <= 1).all()
+
+    def test_export_roundtrip(self, tmp_path):
+        v, f = sphere_mesh(8, 5)
+
+        def query(xyz):
+            # albedo = position-derived color
+            return np.clip(xyz * 0.5 + 0.5, 0, 1)
+
+        path = str(tmp_path / "mesh.obj")
+        export_textured_mesh(path, query, v, f, texture_resolution=128, reverse=True)
+        assert os.path.isfile(path)
+        assert os.path.isfile(str(tmp_path / "mesh.mtl"))
+        assert os.path.isfile(str(tmp_path / "mesh_albedo.png"))
+        txt = open(path).read()
+        assert "vt " in txt and "f " in txt and "mtllib" in txt
+        from PIL import Image
+
+        alb = np.asarray(Image.open(tmp_path / "mesh_albedo.png"))
+        assert alb.shape == (128, 128, 3)
+        assert alb.max() > 50  # actually baked something
+
+
+class TestVSD:
+    def _tiny_guidance(self):
+        from garmentdreamer_tpu.guidance.unet import UNetConfig, UNet2DCondition
+        from garmentdreamer_tpu.guidance.vae import VAEConfig, AutoencoderKL
+        from garmentdreamer_tpu.guidance.vsd import CameraEmb, VSDConfig, VSDGuidance
+
+        ucfg = UNetConfig.tiny()
+        unet = UNet2DCondition(ucfg)
+        x = jnp.zeros((1, 8, 8, 4))
+        ctx = jnp.zeros((1, 7, ucfg.cross_attention_dim))
+        up = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), ctx)
+
+        lcfg = UNetConfig.tiny()
+        lcfg = __import__("dataclasses").replace(lcfg, lora_rank=2, extra_emb_dim=32)
+        lora = UNet2DCondition(lcfg)
+        lp = lora.init(
+            jax.random.PRNGKey(1), x, jnp.zeros((1,), jnp.int32), ctx,
+            extra_emb=jnp.zeros((1, 32)),
+        )
+
+        vcfg = VAEConfig.tiny()
+        vae = AutoencoderKL(vcfg)
+        img = jnp.zeros((1, 32, 32, 3))
+        vp = vae.init(jax.random.PRNGKey(2), img, jax.random.PRNGKey(3),
+                      method=AutoencoderKL.sample_latents)
+
+        cam = CameraEmb(time_embed_dim=32)
+        cp = cam.init(jax.random.PRNGKey(4), jnp.zeros((1, 16)))
+
+        cfg = VSDConfig(latent_size=16, image_size=32, time_embed_dim=32)
+        g = VSDGuidance(
+            cfg,
+            unet_apply=lambda p, x_, t_, c_: unet.apply(p, x_, t_, c_),
+            unet_params=up,
+            vae_encode=lambda p, im, r: vae.apply(
+                p, im, r, method=AutoencoderKL.sample_latents
+            ),
+            vae_params=vp,
+            lora_apply=lambda p, x_, t_, c_, e_: lora.apply(
+                p, x_, t_, c_, extra_emb=e_
+            ),
+            camera_emb_apply=lambda p, pose, sh: cam.apply(p, pose, sh),
+        )
+        return g, {"lora": lp, "camera": cp}
+
+    def test_train_step_and_lora_loss(self):
+        g, q = self._tiny_guidance()
+        rgb = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        text = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+        pose16 = jnp.zeros((1, 16))
+
+        def loss_fn(rgb_):
+            loss, lat = g.train_step(q, rgb_, text, pose16, jax.random.PRNGKey(2))
+            return loss, lat
+
+        (loss, lat), grad = jax.value_and_grad(loss_fn, has_aux=True)(rgb)
+        assert np.isfinite(float(loss))
+        assert lat.shape == (1, 16, 16, 4)
+        assert float(jnp.abs(grad).max()) > 0  # VSD grad reaches the image
+
+        ll = g.lora_loss(q, lat, text[:1], pose16, jax.random.PRNGKey(3))
+        assert np.isfinite(float(ll))
+        gq = jax.grad(lambda qq: g.lora_loss(qq, lat, text[:1], pose16, jax.random.PRNGKey(3)))(q)
+        # camera emb gets gradient
+        leaves = jax.tree_util.tree_leaves(gq["camera"])
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestFitTexture:
+    def test_mini_fit(self, tmp_path):
+        """Miniature fit_texture run against synthetic views: loss decreases
+        and the fitted-texture export is written."""
+        from garmentdreamer_tpu.core import cameras as cc
+        from garmentdreamer_tpu.core import io as gio
+        from PIL import Image
+
+        v, f = sphere_mesh(12, 8)
+        mesh_path = tmp_path / "final_mesh.obj"
+        gio.save_obj(str(mesh_path), gio.ObjMesh(vertices=v, faces=f))
+
+        H = W = 32
+        (tmp_path / "gs_rendered_rgba").mkdir()
+        cams = []
+        for i in range(4):
+            pos = cc.spherical_positions(np.array([10.0]), np.array([i * 90.0]), np.array([3.0]))
+            c2w = cc.lookat_c2w(pos)[0]
+            cams.append(cc.camera_json_entry(i, c2w, 70.0, H, W))
+            rgba = np.zeros((H, W, 4), np.uint8)
+            rgba[8:24, 8:24] = [200, 60, 60, 255]
+            Image.fromarray(rgba, "RGBA").save(tmp_path / "gs_rendered_rgba" / f"{i}.png")
+        with open(tmp_path / "cameras.json", "w") as fj:
+            json.dump(cams, fj)
+
+        cfg = NeTFConfig(
+            fit_tex_iters=10, fit_resolution=32, texture_resolution=64,
+            reconstruction_picked_views=(0, 1, 2, 3),
+            max_per_tile=64, max_tiles_per_tri=16,
+        )
+        tr = NeTFTrainer(cfg, str(mesh_path), str(tmp_path / "gs_rendered_rgba"), str(tmp_path / "out"))
+        loss = tr.fit_texture(str(tmp_path), save=True)
+        assert np.isfinite(loss)
+        assert os.path.isfile(tmp_path / "out" / "final_mesh_fitted_texture.obj")
