@@ -169,6 +169,7 @@ def shading_loss_inputs(
         (view_mask[..., 0] > 0) & (gbuffer["mask"][..., 0] > 0) & (cos_v <= 0)
     )
     H, W = valid.shape
+    num_samples = min(num_samples, H * W)
     flat_valid = valid.reshape(-1)
     u = jax.random.uniform(rng, (H * W,))
     # keep each valid pixel with prob = shading_percentage, then take the

@@ -57,6 +57,13 @@ def _lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_float, ppd, pl, ppi, pl,
         ]
+        lib.gd_marching_cubes_udf.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ppd, pl, ppi, pl,
+        ]
+        lib.gd_closest_points.argtypes = [
+            pd, ctypes.c_int64, pi, ctypes.c_int64, pd, ctypes.c_int64, pd, pd,
+        ]
         lib.gd_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
@@ -112,6 +119,49 @@ def remesh(verts: np.ndarray, faces: np.ndarray, target_edge_length: float,
     )
     if rc:
         raise RuntimeError(f"gd_remesh failed rc={rc}")
+    return _collect(lib, pv, nv, pf, nf)
+
+
+def closest_points(verts: np.ndarray, faces: np.ndarray, queries: np.ndarray):
+    """Distances + closest surface points of ``queries`` (N,3) against the
+    mesh. Returns (dist (N,), cp (N,3))."""
+    lib = _lib()
+    v = np.ascontiguousarray(verts, np.float64)
+    f = np.ascontiguousarray(faces, np.int32)
+    q = np.ascontiguousarray(queries, np.float64)
+    dist = np.empty(len(q), np.float64)
+    cp = np.empty((len(q), 3), np.float64)
+    rc = lib.gd_closest_points(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(f),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(q),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc:
+        raise RuntimeError(f"gd_closest_points failed rc={rc}")
+    return dist, cp
+
+
+def marching_cubes_udf(udf: np.ndarray, grads: np.ndarray):
+    """Isosurface of an UNSIGNED distance grid using per-block gradient
+    pseudo-signs (meshudf role). ``grads`` is (nx,ny,nz,3) normalized
+    negative-gradient field. Vertices in grid index coords."""
+    lib = _lib()
+    u = np.ascontiguousarray(udf, np.float32)
+    g = np.ascontiguousarray(grads, np.float32)
+    pv = ctypes.POINTER(ctypes.c_double)()
+    pf = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.gd_marching_cubes_udf(
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        u.shape[0], u.shape[1], u.shape[2],
+        ctypes.byref(pv), ctypes.byref(nv), ctypes.byref(pf), ctypes.byref(nf),
+    )
+    if rc:
+        raise RuntimeError(f"gd_marching_cubes_udf failed rc={rc}")
     return _collect(lib, pv, nv, pf, nf)
 
 

@@ -455,10 +455,11 @@ struct TriSoup {
               if (d < best) { best = d; bp = q; }
             }
           }
-      // done when we've found something and the next ring can't beat it
+      // expand until the next ring provably cannot contain a closer point:
+      // any triangle in ring r+1 is at least r*cell away from p's cell
       if (best < 1e299) {
         double safe = (double)ring * cell;
-        if (best <= safe * safe || ring >= 2) break;
+        if (best <= safe * safe) break;
       }
       (void)any;
     }
@@ -855,6 +856,61 @@ int gd_remesh(const double* verts, int64_t nv, const int32_t* faces, int64_t nf,
   *out_nf = (int64_t)(f.size() / 3);
   *out_v = (double*)std::malloc(v.size() * sizeof(double));
   *out_f = (int32_t*)std::malloc(f.size() * sizeof(int32_t));
+  std::memcpy(*out_v, v.data(), v.size() * sizeof(double));
+  std::memcpy(*out_f, f.data(), f.size() * sizeof(int32_t));
+  return 0;
+}
+
+// Closest-point queries against a triangle mesh (UDF ground truth for the
+// autoencoder -- reference AutoEncoder_dgcnn/encdec/preprocess_udf.py samples
+// distances with open3d; we use the uniform-grid TriSoup accel).
+// out_dist: (n,) distances; out_cp: (n,3) closest surface points.
+int gd_closest_points(const double* verts, int64_t nv, const int32_t* faces,
+                      int64_t nf, const double* queries, int64_t nq,
+                      double* out_dist, double* out_cp) {
+  EditMesh m;
+  m.build(verts, nv, faces, nf);
+  TriSoup soup;
+  soup.build(m.verts, m.faces);
+  for (int64_t i = 0; i < nq; i++) {
+    V3 q(queries[3 * i], queries[3 * i + 1], queries[3 * i + 2]);
+    V3 c = soup.project(q);
+    out_dist[i] = (c - q).norm();
+    out_cp[3 * i] = c.x;
+    out_cp[3 * i + 1] = c.y;
+    out_cp[3 * i + 2] = c.z;
+  }
+  return 0;
+}
+
+// UDF isosurface: per-cell pseudo-signs from gradient agreement with corner 0
+// (the meshudf Lewiner-for-UDF trick, reference meshudf.py / the .pyx:
+// corner k gets sign(dot(g_k, g_0)), then a standard extraction runs on the
+// pseudo-signed field at level 0). grads: (nx,ny,nz,3) NORMALIZED negative
+// udf gradients (pointing toward the surface).
+int gd_marching_cubes_udf(const float* udf, const float* grads, int64_t nx,
+                          int64_t ny, int64_t nz, double** out_v,
+                          int64_t* out_nv, int32_t** out_f, int64_t* out_nf) {
+  // pseudo-signed field: each grid point takes sign(dot(g, g_anchor)) where
+  // the anchor is the even-parity parent corner of its 2x2x2 block -- the
+  // per-block analog of the reference's per-cell corner-0 rule.
+  std::vector<float> field((size_t)nx * ny * nz);
+  auto G = [&](int64_t i, int k) { return grads[3 * i + k]; };
+  for (int x = 0; x < nx; x++)
+    for (int y = 0; y < ny; y++)
+      for (int z = 0; z < nz; z++) {
+        int64_t i = (int64_t)(x * ny + y) * nz + z;
+        int64_t i0 = (int64_t)((x & ~1) * ny + (y & ~1)) * nz + (z & ~1);
+        double dot = G(i, 0) * G(i0, 0) + G(i, 1) * G(i0, 1) + G(i, 2) * G(i0, 2);
+        field[i] = dot >= 0 ? udf[i] : -udf[i];
+      }
+  std::vector<double> v;
+  std::vector<int32_t> f;
+  marchingCubesImpl(field.data(), (int)nx, (int)ny, (int)nz, 0.0f, &v, &f);
+  *out_nv = (int64_t)(v.size() / 3);
+  *out_nf = (int64_t)(f.size() / 3);
+  *out_v = (double*)std::malloc(std::max<size_t>(1, v.size()) * sizeof(double));
+  *out_f = (int32_t*)std::malloc(std::max<size_t>(1, f.size()) * sizeof(int32_t));
   std::memcpy(*out_v, v.data(), v.size() * sizeof(double));
   std::memcpy(*out_f, f.data(), f.size() * sizeof(int32_t));
   return 0;

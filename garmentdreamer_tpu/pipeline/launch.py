@@ -1,0 +1,242 @@
+"""Pipeline driver: the four-stage text+template -> textured-garment run.
+
+CLI-compatible rebuild of the reference driver
+(reference: launch_garmentdreamer.py:14-49): the same flags
+(--gs_config --deformer_config --netf_config --template_path --prompt
+--output_folder) and the same ``outputs/{prompt_tag@timestamp}/`` artifact
+layout (threestudio/utils/config.py:46-95 trial naming), with each stage an
+idempotent function over the filesystem artifacts (SURVEY.md section 0 table) --
+re-running a stage whose outputs exist can be skipped with --resume.
+
+Stages:
+1. ``generate_3dgs``  -- SDS-optimize Gaussians from the template, export the
+   407-view ring (Garment_3DGS/generate_3dgs.py:21-66);
+2. ``estimate_normal``-- ViT-L normal maps for every render
+   (Normal_estimator_Metric3D/test_scale_cano.py:44-109);
+3. ``deformation``    -- template deformation (deformation.py:41-419);
+4. ``reconstruction`` -- NeTF texture fit + optional VSD enhancement
+   (reconstruction.py:15-29).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import re
+import time
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+from garmentdreamer_tpu.core.config import Config, load_config
+
+__all__ = ["run_pipeline", "generate_3dgs", "estimate_normal", "reconstruction", "main"]
+
+
+def _trial_dir(output_folder: str, prompt: str) -> str:
+    tag = re.sub(r"\s+", "_", prompt.strip())[:60]
+    stamp = datetime.now().strftime("%Y%m%d-%H%M%S")
+    return os.path.join(output_folder, f"{tag}@{stamp}")
+
+
+def generate_3dgs(
+    template_path: str,
+    prompt: str,
+    save_dir: str,
+    gs_cfg: Optional[Config] = None,
+    scale: str = "sd21",
+    weights_dir: Optional[str] = None,
+):
+    """Stage 1. Returns (save_dir, bound)."""
+    import jax.numpy as jnp
+
+    from garmentdreamer_tpu.data.cameras import RandomCameraConfig
+    from garmentdreamer_tpu.pipeline.models import build_guidance_stack
+    from garmentdreamer_tpu.systems.gaussiandreamer import (
+        GaussianDreamerConfig,
+        GaussianDreamerSystem,
+    )
+
+    gs_cfg = gs_cfg or Config({})
+    sys_over = dict(getattr(gs_cfg, "system", Config({})))
+    data_over = dict(getattr(gs_cfg, "data", Config({})))
+
+    dcfg_fields = {f.name for f in dataclasses.fields(RandomCameraConfig)}
+    dcfg = RandomCameraConfig(
+        **{k: v for k, v in data_over.items() if k in dcfg_fields}
+    )
+    gcfg_fields = {f.name for f in dataclasses.fields(GaussianDreamerConfig)}
+    gcfg = GaussianDreamerConfig(
+        **{k: v for k, v in sys_over.items() if k in gcfg_fields}
+    )
+
+    stack = build_guidance_stack(
+        prompt,
+        scale=scale,
+        weights_dir=weights_dir,
+        guidance_scale=float(sys_over.get("guidance_scale", 100.0)),
+        with_vsd=False,
+        cache_dir=os.path.join(save_dir, ".cache"),
+    )
+    system = GaussianDreamerSystem(
+        gcfg, dcfg, guidance=stack.sds, prompt_embeddings=stack.prompt_embeddings
+    )
+    st = system.init_state(template_path)
+    st, _ = system.fit(st)
+    system.render_ring(st, save_dir)
+    return save_dir, gcfg.bound
+
+
+def estimate_normal(save_dir: str, checkpoint: Optional[str] = None,
+                    batch_size: int = 4, tiny: bool = False) -> str:
+    """Stage 2."""
+    from garmentdreamer_tpu.normal import NormalEstimatorConfig, estimate_normals
+
+    cfg = NormalEstimatorConfig.tiny() if tiny else None
+    return estimate_normals(
+        os.path.join(save_dir, "gs_rendered_rgba"),
+        os.path.join(save_dir, "estimated_normals"),
+        checkpoint=checkpoint,
+        batch_size=batch_size,
+        cfg=cfg,
+    )
+
+
+def reconstruction(
+    save_dir: str,
+    mesh_path: str,
+    prompt: str,
+    netf_cfg: Optional[Config] = None,
+    scale: str = "sd21",
+    weights_dir: Optional[str] = None,
+) -> str:
+    """Stage 4. Returns the final textured mesh path."""
+    from garmentdreamer_tpu.netf import NeTFConfig, NeTFTrainer
+    from garmentdreamer_tpu.pipeline.models import build_guidance_stack
+
+    netf_cfg = netf_cfg or Config({})
+    fields = {f.name for f in dataclasses.fields(NeTFConfig)}
+    over = {k: v for k, v in dict(netf_cfg).items() if k in fields}
+    if "reconstruction_picked_views" in dict(netf_cfg):
+        over["reconstruction_picked_views"] = tuple(
+            netf_cfg.reconstruction_picked_views
+        )
+    cfg = NeTFConfig(**over)
+    enhance = bool(dict(netf_cfg).get("enhance", cfg.enhance))
+
+    stack = build_guidance_stack(
+        prompt,
+        scale=scale,
+        weights_dir=weights_dir,
+        guidance_scale=7.5,
+        with_vsd=enhance,
+        vsd_positive_prompt=dict(netf_cfg).get("positive_prompt"),
+        vsd_negative_prompt=dict(netf_cfg).get("negative_prompt"),
+        cache_dir=os.path.join(save_dir, ".cache"),
+    )
+    outdir = save_dir
+    trainer = NeTFTrainer(
+        cfg,
+        mesh_path,
+        os.path.join(save_dir, "gs_rendered_rgba"),
+        outdir,
+        guidance=stack.vsd,
+        text_embeddings=stack.vsd_text_embeddings,
+        q_params=stack.q_params,
+    )
+    if cfg.fit_tex:
+        trainer.fit_texture(save_dir, save=True)
+    if enhance:
+        trainer.train_vsd()
+        return os.path.join(outdir, "final_mesh_finetuned.obj")
+    return os.path.join(outdir, "final_mesh_fitted_texture.obj")
+
+
+def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
+    from garmentdreamer_tpu.deformer import DeformerConfig, deformation
+
+    t_start = time.time()
+    save_dir = args.save_dir or _trial_dir(args.output_folder, args.prompt)
+    os.makedirs(save_dir, exist_ok=True)
+    timings: Dict[str, float] = {}
+
+    gs_cfg = load_config(args.gs_config) if args.gs_config else None
+    deformer_cfg = load_config(args.deformer_config) if args.deformer_config else None
+    netf_cfg = load_config(args.netf_config) if args.netf_config else None
+
+    t0 = time.time()
+    ring_done = os.path.isfile(os.path.join(save_dir, "cameras.json"))
+    if not (args.resume and ring_done):
+        _, bound = generate_3dgs(
+            args.template_path, args.prompt, save_dir, gs_cfg,
+            scale=args.model_scale, weights_dir=args.weights_dir,
+        )
+    else:
+        from garmentdreamer_tpu.systems.gaussiandreamer import GaussianDreamerConfig
+
+        bound = GaussianDreamerConfig().bound
+    timings["stage1_3dgs"] = time.time() - t0
+
+    t0 = time.time()
+    if not (args.resume and os.path.isdir(os.path.join(save_dir, "estimated_normals"))):
+        estimate_normal(
+            save_dir, checkpoint=args.metric3d_checkpoint,
+            tiny=args.model_scale == "tiny",
+        )
+    timings["stage2_normal"] = time.time() - t0
+
+    t0 = time.time()
+    final_mesh = os.path.join(save_dir, "final_mesh.obj")
+    if not (args.resume and os.path.isfile(final_mesh)):
+        dcfg_fields = {f.name for f in dataclasses.fields(DeformerConfig)}
+        over = (
+            {k: v for k, v in dict(deformer_cfg).items() if k in dcfg_fields}
+            if deformer_cfg
+            else {}
+        )
+        for k in ("upsample_iterations", "picked_views_second", "first_stage_weights"):
+            if k in over:
+                over[k] = tuple(over[k])
+        if "picked_views_first" in over:
+            over["picked_views_first"] = tuple(over["picked_views_first"])
+        final_mesh = deformation(
+            save_dir, args.template_path, bound, DeformerConfig(**over)
+        )
+    timings["stage3_deformer"] = time.time() - t0
+
+    t0 = time.time()
+    textured = reconstruction(
+        save_dir, final_mesh, args.prompt, netf_cfg,
+        scale=args.model_scale, weights_dir=args.weights_dir,
+    )
+    timings["stage4_netf"] = time.time() - t0
+    timings["total"] = time.time() - t_start
+
+    return {"save_dir": save_dir, "final_mesh": textured, "timings": timings}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="GarmentDreamer-TPU: text + garment template -> textured 3D garment"
+    )
+    p.add_argument("--gs_config", type=str, default="configs/gaussiandreamer-sd.yaml")
+    p.add_argument("--deformer_config", type=str, default="configs/garment_deformer_configs.yml")
+    p.add_argument("--netf_config", type=str, default="configs/garment_netf_configs.yml")
+    p.add_argument("--template_path", type=str, required=True)
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--output_folder", type=str, default="outputs")
+    p.add_argument("--save_dir", type=str, default=None, help="override trial dir")
+    p.add_argument("--resume", action="store_true", help="skip stages whose artifacts exist")
+    p.add_argument("--model_scale", choices=["sd21", "tiny"], default="sd21")
+    p.add_argument("--weights_dir", type=str, default=None, help="converted SD weights")
+    p.add_argument("--metric3d_checkpoint", type=str, default=None)
+    args = p.parse_args(argv)
+    result = run_pipeline(args)
+    print(f"final mesh: {result['final_mesh']}")
+    for k, v in result["timings"].items():
+        print(f"  {k}: {v:.1f}s")
+    return result
+
+
+if __name__ == "__main__":
+    main()
