@@ -7,6 +7,11 @@ a ~100k-Gaussian scene at 512^2 at roughly 100 FPS on the reference's
 single-GPU setup (BASELINE.md: the repo publishes no numbers; 100 FPS is the
 commonly reported order for graphdeco 3DGS forward at this size and is the
 fixed divisor used across rounds so the ratio is comparable round-to-round).
+
+Methodology notes (axon tunnel): ``block_until_ready`` does not reliably
+synchronize through the remote TPU tunnel, so we force a device->host
+transfer of a scalar after the timed loop, use DISTINCT cameras per iteration
+(defeats any value caching), and amortize the one sync over all iterations.
 """
 
 from __future__ import annotations
@@ -20,25 +25,43 @@ BASELINE_FPS = 100.0
 N_GAUSS = 100_000
 RES = 512
 WARMUP = 3
-ITERS = 20
+ITERS = 40
+N_CAMS = 16
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from __graft_entry__ import entry
+    from __graft_entry__ import _make_scene
+    from garmentdreamer_tpu.core import cameras as cam
+    from garmentdreamer_tpu.splat.render import render_view
 
-    fn, args = entry()
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(jfn(*args))
+    st = _make_scene()
+    bg = jnp.ones(3, jnp.float32)
+    cams = []
+    for i in range(N_CAMS):
+        c = cam.gs_camera_from_spherical(
+            15.0 + i, 30.0 + 11.0 * i, 3.5, float(np.deg2rad(70.0)), RES, RES
+        )
+        cams.append({k: jnp.asarray(v) for k, v in c.as_arrays().items()})
+
+    @jax.jit
+    def fn(params, stats, cc):
+        s = st.replace(params=params, stats=stats)
+        out = render_view(
+            s, cc, bg, RES, RES, max_tiles_per_gaussian=16, max_per_tile=256
+        )
+        return out["render"].sum() + out["alpha"].sum()
+
+    # compile + warmup, with a real host sync
+    for i in range(WARMUP):
+        np.asarray(fn(st.params, st.stats, cams[i % N_CAMS]))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = jfn(*args)
-    jax.block_until_ready(out)
+    for i in range(ITERS):
+        out = fn(st.params, st.stats, cams[i % N_CAMS])
+    np.asarray(out)  # force one real sync; amortized over ITERS
     dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt
 

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel for the per-tile splat compositing pass.
+
+This is the framework's hottest loop (SURVEY.md section 3.2: FORWARD::render,
+reference forward.cu:261-381 -- one 16x16 CUDA block per tile). Mapping:
+
+* each grid program composites ``TPB`` tiles; per-tile instance windows are
+  DMA'd from the tile-sorted (16, L) HBM attribute matrix with double
+  buffering, so tile i+1's window streams in while tile i computes;
+* window starts come from the scalar-prefetched ``starts`` array, aligned
+  down to 128 lanes (Mosaic slice alignment) with [s, e) masking of
+  neighbors' rows;
+* the front-to-back transmittance recurrence is evaluated with a
+  lower-triangular MXU matmul over log(1 - alpha) -- prefix sums on the MXU
+  instead of a sequential scan;
+* per tile the kernel emits a (5, 256) block: rgb, alpha, expected depth.
+
+The XLA path (rasterize.py tile_body) remains the autodiff/backward
+implementation; this kernel serves inference (render_ring, bench).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 16
+PIX = TILE * TILE
+T_EPS = 1e-4
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+ALIGN = 128  # lane alignment quantum for the HBM window start
+TPB = 8  # tiles per grid program
+
+__all__ = ["composite_tiles_pallas", "TPB"]
+
+
+def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x, max_off):
+    blk = pl.program_id(0)
+    t_base = blk * TPB
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    tri_incl = (col <= row).astype(jnp.float32)  # inclusive lower-triangular
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    bg = bg_ref[0, :]  # (3,)
+
+    def off_of(t):
+        s = starts_ref[t]
+        return pl.multiple_of(
+            jnp.minimum((s // ALIGN) * ALIGN, max_off), ALIGN
+        )
+
+    def get_dma(slot, t):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(off_of(t), W)], scratch.at[slot], sem.at[slot]
+        )
+
+    get_dma(0, t_base).start()
+
+    def body(i, _):
+        t = t_base + i
+        slot = i % 2
+
+        @pl.when(i + 1 < TPB)
+        def _():
+            get_dma((i + 1) % 2, t + 1).start()
+
+        get_dma(slot, t).wait()
+        rows = scratch[slot]  # (16, W); rows 10..15 are padding
+        s = starts_ref[t]
+        e = starts_ref[t + 1]
+        off = off_of(t)
+
+        ty = t // tiles_x
+        tx = t % tiles_x
+        px = (tx * TILE + (lin % TILE)).astype(jnp.float32)  # (1, PIX)
+        py = (ty * TILE + (lin // TILE)).astype(jnp.float32)
+
+        idx = off + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        in_range = ((idx >= s) & (idx < e)).astype(jnp.float32)  # (W, 1)
+
+        mx = rows[0, :][:, None]  # (W, 1)
+        my = rows[1, :][:, None]
+        ca = rows[2, :][:, None]
+        cb = rows[3, :][:, None]
+        cc = rows[4, :][:, None]
+        op = rows[8, :][:, None] * in_range
+
+        dx = px - mx  # (W, PIX)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = op * jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+        alpha = jnp.minimum(alpha, ALPHA_MAX)
+
+        logs = jnp.log1p(-alpha)  # (W, PIX)
+        incl = jnp.dot(tri_incl, logs, preferred_element_type=jnp.float32)
+        t_after = jnp.exp(incl)
+        t_prefix = jnp.exp(incl - logs)  # (W, PIX)
+        contrib = (t_after >= T_EPS).astype(jnp.float32)  # CUDA early-exit analog
+        w = alpha * t_prefix * contrib  # (W, PIX)
+
+        rgb = jnp.dot(rows[5:8, :], w, preferred_element_type=jnp.float32)
+        acc_d = jnp.sum(w * rows[9, :][:, None], axis=0, keepdims=True)
+        t_final = jnp.exp(jnp.sum(logs * contrib, axis=0, keepdims=True))
+
+        out_ref[i, 0:3, :] = rgb + bg[:, None] * t_final
+        out_ref[i, 3:4, :] = 1.0 - t_final
+        out_ref[i, 4:5, :] = acc_d
+        return 0
+
+    jax.lax.fori_loop(0, TPB, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tiles_x", "K"))
+def composite_tiles_pallas(
+    starts: jnp.ndarray,  # (T+1,) int32
+    inst_attrs_t: jnp.ndarray,  # (10, L) f32, tile-sorted columns
+    bg: jnp.ndarray,  # (3,)
+    n_tiles: int,
+    tiles_x: int,
+    K: int = 256,
+):
+    """-> (T, 5, 256): per-tile [r, g, b, alpha, depth] x pixels (row-major
+    16x16, x fastest)."""
+    assert K % ALIGN == 0, "K must be a multiple of 128"
+    assert n_tiles % TPB == 0, "tile count must divide the per-program batch"
+    W = K + ALIGN  # window width: K capacity + slack for the align-down shift
+    L = inst_attrs_t.shape[1]
+    # L and max_off must stay ALIGN-multiples for the divisibility hint
+    pad_l = max(W - L, (-L) % ALIGN)
+    # pad rows 10 -> 16 for Mosaic sublane (8) alignment of the HBM slice
+    inst_attrs_t = jnp.pad(
+        inst_attrs_t, ((0, 16 - inst_attrs_t.shape[0]), (0, pad_l))
+    )
+    L = L + pad_l
+    max_off = L - W
+
+    kernel = functools.partial(_kernel, W=W, tiles_x=tiles_x, max_off=max_off)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // TPB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # inst_attrs stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
+        ],
+        out_specs=pl.BlockSpec(
+            (TPB, 5, PIX), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, W), jnp.float32),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 5, PIX), jnp.float32),
+    )(starts, inst_attrs_t, bg[None, :])
+    return out

@@ -5,26 +5,28 @@ diff-gaussian-rasterization/cuda_rasterizer/rasterizer_impl.cu:197-447,
 forward.cu:261-381, backward.cu:416-598). Same algorithm family, re-designed
 for XLA's static shapes and lack of atomics:
 
-1. **depth order** -- one ``argsort`` over the fixed-capacity cloud (the CUDA
-   code radix-sorts per-instance [tile|depth] keys; we sort the cloud once and
-   keep the expansion order-preserving, so a single stable per-tile sort of the
-   instance list suffices).
-2. **instance expansion** -- each visible Gaussian emits up to ``max_tiles_per_gaussian``
-   (tile_id, gaussian) instances for the tiles its 3-sigma rect touches
-   (CUDA's duplicateWithKeys; dynamic total count becomes a static capacity
-   with masked sentinel instances).
-3. **binning** -- one stable ``lax.sort`` by tile id + ``searchsorted`` for the
-   per-tile ranges (CUDA's radix sort + identifyTileRanges).
-4. **compositing** -- per tile, gather a ``max_per_tile`` window of instances
-   and run the vectorized front-to-back compositor from
-   :mod:`garmentdreamer_tpu.splat.rasterize_ref` on a 16x16 pixel block.
-   The sequential ``T *= (1-alpha)`` scan becomes a cumulative log-sum --
-   identical numerics, fully parallel over pixels AND Gaussians.
+1. **instance expansion** -- each visible Gaussian emits up to
+   ``max_tiles_per_gaussian`` instances for the tiles its 3-sigma rect
+   touches (CUDA's duplicateWithKeys; dynamic total count becomes a static
+   capacity with sentinel instances whose opacity is zeroed).
+2. **binning + layout in one multi-key sort** -- ``lax.sort`` on
+   (tile, depth) keys CARRYING all ten render attributes as payload
+   operands (CUDA's [tile|depth] radix sort). One sort replaces argsort +
+   two gather passes: TPU gathers of millions of rows lower to scalar loops
+   (~50ms measured at 2M rows) while the payload sort is a few ms, and the
+   per-tile lists come out contiguous, depth-ordered, and materialized.
+3. **compositing** -- per tile, a CONTIGUOUS dynamic slice of the instance
+   matrix feeds the vectorized front-to-back compositor
+   (:mod:`garmentdreamer_tpu.splat.rasterize_ref`) on a 16x16 pixel block;
+   the sequential ``T *= (1-alpha)`` scan becomes a cumprod -- identical
+   numerics, fully parallel over pixels AND Gaussians. A Pallas kernel for
+   this stage lives in :mod:`garmentdreamer_tpu.splat.pallas_composite`.
 
-Gradients: binning indices are integer/stop-gradient; compositing and the
-gathers feeding it are plain jnp, so ``jax.grad`` produces the per-tile
-partials + scatter-add that the CUDA backward implements by hand with atomics
-(backward.cu:555-598). Summation order differs from atomics only.
+Gradients: keys are stop-gradient, but attribute payloads flow through
+``lax.sort``'s VJP (a permutation scatter), so ``jax.grad`` produces the
+per-tile partials + scatter-add that the CUDA backward implements by hand
+with atomics (backward.cu:555-598). Summation order differs from atomics
+only.
 
 Everything here is jit-compatible with static shapes; resolution and the two
 capacity knobs are the only static arguments.
@@ -143,21 +145,57 @@ def rasterize_tiled(
     n_tiles = tiles_x * tiles_y
     K = max_per_tile
 
-    binning = bin_gaussians(
-        proj.means2d, proj.depths, proj.radii, height, width, max_tiles_per_gaussian
+    # ------------------------------------------------------------------
+    # binning + attribute layout in ONE multi-key sort (the CUDA design's
+    # [tile|depth] radix sort, done the XLA way): every (gaussian, slot)
+    # instance carries its tile id, depth, and all 10 render attributes as
+    # sort payloads. After the sort the per-tile lists are contiguous AND
+    # depth-ordered AND fully materialized -- no gathers anywhere (a 2M-row
+    # gather costs ~50ms on TPU; the payload sort is ~5ms).
+    # ------------------------------------------------------------------
+    means2d = jax.lax.stop_gradient(proj.means2d)
+    depths_sg = jax.lax.stop_gradient(proj.depths)
+    C = means2d.shape[0]
+    R = max_tiles_per_gaussian
+    visible = proj.radii > 0
+
+    x0, y0, x1, y1 = _tile_rect(
+        means2d, jnp.where(visible, proj.radii, 0), tiles_x, tiles_y
     )
-    order = binning.order
+    w = x1 - x0
+    count = jnp.where(visible, w * (y1 - y0), 0)
+    n_dropped = jnp.sum(jnp.maximum(count - R, 0))
 
-    # depth-ordered differentiable attributes
-    means2d = proj.means2d[order]
-    conics = proj.conics[order]
-    colors = proj.colors[order]
-    opac = jnp.where(proj.radii[order] > 0, proj.opacities[order], 0.0)
-    depths = proj.depths[order]
+    slot = jnp.arange(R, dtype=jnp.int32)
+    w_safe = jnp.maximum(w, 1)[:, None]
+    tx_id = x0[:, None] + slot[None, :] % w_safe
+    ty_id = y0[:, None] + slot[None, :] // w_safe
+    valid = slot[None, :] < jnp.minimum(count, R)[:, None]
+    tile_id = jnp.where(valid, ty_id * tiles_x + tx_id, n_tiles).astype(jnp.int32)
 
-    starts = binning.tile_starts  # (T+1,)
-    inst = binning.instance_gauss  # (L,)
-    L = inst.shape[0]
+    opac_v = jnp.where(proj.radii > 0, proj.opacities, 0.0)
+    # broadcast per-gaussian attrs to per-instance (C, R) and flatten;
+    # invalid slots get opacity 0 so they composite to nothing
+    def bcast(col):
+        return jnp.broadcast_to(col[:, None], (C, R)).reshape(-1)
+
+    op_inst = jnp.where(valid, opac_v[:, None], 0.0).reshape(-1)
+    operands = (
+        tile_id.reshape(-1),
+        bcast(depths_sg),
+        bcast(proj.means2d[:, 0]), bcast(proj.means2d[:, 1]),
+        bcast(proj.conics[:, 0]), bcast(proj.conics[:, 1]), bcast(proj.conics[:, 2]),
+        bcast(proj.colors[:, 0]), bcast(proj.colors[:, 1]), bcast(proj.colors[:, 2]),
+        op_inst,
+        bcast(proj.depths),
+    )
+    sorted_ops = jax.lax.sort(operands, num_keys=2, is_stable=False)
+    tile_sorted = sorted_ops[0]
+    inst_attrs = jnp.stack(sorted_ops[2:], axis=1)  # (L, 10)
+    L = inst_attrs.shape[0]
+    starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
 
     # per-tile pixel grid offsets (16x16 block, row-major)
     local = jnp.stack(
@@ -167,18 +205,22 @@ def rasterize_tiled(
         [local[..., 1].reshape(-1), local[..., 0].reshape(-1)], axis=-1
     ).astype(jnp.float32)  # (256, 2) as (x, y)
 
+    if L < K:  # tiny scenes (tests): pad so the K-slice always exists
+        inst_attrs = jnp.pad(inst_attrs, ((0, K - L), (0, 0)))
+    max_start = max(L - K, 0)
+
     def tile_body(t):  # t: scalar tile index
         s = starts[t]
         e = starts[t + 1]
-        offs = s + jnp.arange(K, dtype=jnp.int32)
-        in_range = offs < e
-        g = inst[jnp.clip(offs, 0, L - 1)]  # (K,) depth-ordered gaussian rows
+        s_c = jnp.clip(s, 0, max_start)
+        in_range = (s_c + jnp.arange(K, dtype=jnp.int32)) < e
+        rows = jax.lax.dynamic_slice_in_dim(inst_attrs, s_c, K)  # (K, 10)
 
-        m = means2d[g]
-        cn = conics[g]
-        cl = colors[g]
-        op = jnp.where(in_range, opac[g], 0.0)
-        dp = depths[g]
+        m = rows[:, 0:2]
+        cn = rows[:, 2:5]
+        cl = rows[:, 5:8]
+        op = jnp.where(in_range, rows[:, 8], 0.0)
+        dp = rows[:, 9]
 
         ty = t // tiles_x
         tx = t % tiles_x
@@ -205,4 +247,4 @@ def rasterize_tiled(
     img = assemble(color, 3)
     a = assemble(alpha[..., None], 1)[..., 0]
     d = assemble(depth[..., None], 1)[..., 0]
-    return img, a, d, binning.n_dropped
+    return img, a, d, n_dropped

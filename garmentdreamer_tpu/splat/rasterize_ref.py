@@ -61,14 +61,19 @@ def composite_depth_ordered(
     valid = (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(valid, jnp.minimum(alpha, ALPHA_MAX), 0.0)
 
-    logs = jnp.log1p(-alpha)  # (..., G)
-    cum_incl = jnp.cumsum(logs, axis=-1)
-    t_after = jnp.exp(cum_incl)
-    contrib = t_after >= T_EPS  # sticky stop: t_after is monotone non-increasing
-    t_prefix = jnp.exp(cum_incl - logs)
+    # transmittance via cumprod (alpha is capped at ALPHA_MAX < 1, so factors
+    # stay > 0): saves the log1p/exp transcendentals of the log-space form --
+    # 134M pairs/frame makes that ~30% of compositing time on the VPU
+    one_m = 1.0 - alpha  # (..., G)
+    t_incl = jnp.cumprod(one_m, axis=-1)
+    contrib = t_incl >= T_EPS  # sticky stop: t_incl is monotone non-increasing
+    t_prefix = jnp.concatenate(
+        [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1
+    )
     w = alpha * t_prefix * contrib  # (..., G)
 
-    t_final = jnp.exp(jnp.sum(logs * contrib, axis=-1))
+    # final transmittance over contributing entries only (CUDA early-exit)
+    t_final = jnp.prod(jnp.where(contrib, one_m, 1.0), axis=-1)
     hi = jax.lax.Precision.HIGHEST  # f32 accumulation of the weighted sums
     color = jnp.matmul(w, colors, precision=hi) + t_final[..., None] * bg
     out_alpha = 1.0 - t_final
