@@ -239,13 +239,35 @@ class GaussianDreamerSystem:
         opt_state=None,
         log_every: int = 50,
         callback: Optional[Callable] = None,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 0,
     ):
+        """Run the SDS loop. With ``ckpt_dir`` set, training state
+        (params/stats/opt_state/step) checkpoints every ``ckpt_every`` steps
+        via orbax and resumes from the latest checkpoint automatically
+        (SURVEY.md section 5.4 -- the reference plumbs cfg.resume but never uses it,
+        generate_3dgs.py:54,63)."""
         cfg = self.cfg
         if opt_state is None:
             opt_state = self.init_optimizer(st)
+        start_step = 0
+        if ckpt_dir is not None:
+            from garmentdreamer_tpu.core import checkpoint as ckpt
+
+            last = ckpt.latest_step(ckpt_dir)
+            if last is not None:
+                tree = ckpt.restore_checkpoint(
+                    ckpt_dir,
+                    {"params": st.params, "stats": st.stats,
+                     "opt_state": opt_state, "step": 0},
+                    step=last,
+                )
+                st = st.replace(params=tree["params"], stats=tree["stats"])
+                opt_state = tree["opt_state"]
+                start_step = int(tree["step"]) + 1
         rng = jax.random.key(cfg.seed)
         lambdas_spec = {"sds": cfg.lambda_sds, "sparsity": cfg.lambda_sparsity, "opaque": cfg.lambda_opaque}
-        for step in range(cfg.max_steps):
+        for step in range(start_step, cfg.max_steps):
             batch = self.sampler.sample()
             rng, step_rng, den_rng = jax.random.split(rng, 3)
             fn = self.train_step_fn(step, batch["height"], batch["width"])
@@ -266,6 +288,17 @@ class GaussianDreamerSystem:
             st, opt_state, _ = self.maybe_densify(step, st, opt_state, den_rng)
             if callback is not None:
                 callback(step, st, aux)
+            if ckpt_dir is not None and ckpt_every > 0 and (
+                (step + 1) % ckpt_every == 0 or step == cfg.max_steps - 1
+            ):
+                from garmentdreamer_tpu.core import checkpoint as ckpt
+
+                ckpt.save_checkpoint(
+                    ckpt_dir,
+                    step,
+                    {"params": st.params, "stats": st.stats,
+                     "opt_state": opt_state, "step": step},
+                )
         return st, opt_state
 
     # -- evaluation / export ---------------------------------------------------

@@ -1,0 +1,94 @@
+"""Checkpoint/resume tests: orbax pytree roundtrip + stage-1 fit resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from garmentdreamer_tpu.core.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        tree = {
+            "a": jnp.arange(10, dtype=jnp.float32),
+            "nested": {"b": jnp.ones((3, 4)), "step": 7},
+        }
+        d = str(tmp_path / "ck")
+        save_checkpoint(d, 100, tree)
+        assert latest_step(d) == 100
+        out = restore_checkpoint(d, tree)
+        np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(10))
+        assert int(out["nested"]["step"]) == 7
+
+    def test_latest_of_missing_dir(self, tmp_path):
+        assert latest_step(str(tmp_path / "nope")) is None
+
+    def test_max_to_keep(self, tmp_path):
+        d = str(tmp_path / "ck")
+        for s in range(5):
+            save_checkpoint(d, s, {"x": jnp.float32(s)}, max_to_keep=2)
+        assert latest_step(d) == 4
+        out = restore_checkpoint(d, {"x": jnp.float32(0)})
+        assert float(out["x"]) == 4.0
+
+
+class TestFitResume:
+    def test_stage1_resume(self, tmp_path):
+        """fit() with ckpt_dir resumes from the saved step."""
+        from garmentdreamer_tpu.core.io import ObjMesh, save_obj
+        from garmentdreamer_tpu.data.cameras import RandomCameraConfig
+        from garmentdreamer_tpu.systems.gaussiandreamer import (
+            GaussianDreamerConfig,
+            GaussianDreamerSystem,
+        )
+        from tests.test_stage1_e2e import _tiny_guidance
+
+        v = np.array([[0,0,0],[1,0,0],[1,1,0],[0,1,0],[0,0,1],[1,0,1],[1,1,1],[0,1,1]], np.float32) - 0.5
+        f = np.array([[0,2,1],[0,3,2],[4,5,6],[4,6,7],[0,1,5],[0,5,4],[2,3,7],[2,7,6],[1,2,6],[1,6,5],[3,0,4],[3,4,7]], np.int32)
+        tpl = tmp_path / "cube.obj"
+        save_obj(str(tpl), ObjMesh(vertices=v, faces=f))
+
+        g, emb = _tiny_guidance()
+        cfg = GaussianDreamerConfig(
+            max_steps=4, num_surface_pts=200, num_pts_space=0, capacity=512,
+            max_per_tile=64, max_tiles_per_gaussian=8, densify_from=100, densify_until=0,
+        )
+        dcfg = RandomCameraConfig(batch_size=1, height=32, width=32)
+        sys1 = GaussianDreamerSystem(cfg, dcfg, guidance=g, prompt_embeddings=emb)
+        st = sys1.init_state(str(tpl))
+        ckdir = str(tmp_path / "ck")
+
+        steps_run = []
+        st2, _ = sys1.fit(
+            st, callback=lambda s, *_: steps_run.append(s),
+            ckpt_dir=ckdir, ckpt_every=2,
+        )
+        assert steps_run == [0, 1, 2, 3]
+        assert latest_step(ckdir) == 3
+
+        # resume: a FRESH initial state (the train step donates buffers, so
+        # resume always starts from init_state + restore, like the driver)
+        # should run NO steps: last saved step 3 -> start at 4 -> loop empty
+        steps2 = []
+        sys1.fit(
+            sys1.init_state(str(tpl)),
+            callback=lambda s, *_: steps2.append(s), ckpt_dir=ckdir, ckpt_every=2,
+        )
+        assert steps2 == []
+
+        # wipe and rerun from scratch
+        import shutil
+        shutil.rmtree(ckdir)
+        steps3 = []
+        sys1.fit(
+            sys1.init_state(str(tpl)),
+            callback=lambda s, *_: steps3.append(s), ckpt_dir=ckdir, ckpt_every=2,
+        )
+        assert steps3 == [0, 1, 2, 3]
