@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from garmentdreamer_tpu.guidance.scheduler import DiffusionSchedule, add_noise, make_schedule
 
-__all__ = ["SDSConfig", "SDSGuidance"]
+__all__ = ["SDSConfig", "SDSGuidance", "guidance_eval"]
 
 
 @dataclass(frozen=True)
@@ -137,3 +137,74 @@ class SDSGuidance:
             "latents": latents,
             "t": t,
         }
+
+
+def guidance_eval(
+    guidance: SDSGuidance,
+    vae_decode: Callable,
+    vae_decode_params: Any,
+    rgb: jnp.ndarray,  # (B, H, W, 3)
+    text_embeddings: jnp.ndarray,  # (2B, L, D)
+    rng: jax.Array,
+    num_steps: int = 25,
+) -> Dict[str, jnp.ndarray]:
+    """Denoising previews of the SDS target (reference QA harness,
+    stable_diffusion_guidance.py:503-579): for a random t, return the noisy
+    latents decoded, the 1-step x0 estimate, and the fully DDIM-denoised
+    image -- the images a practitioner inspects to see what the guidance is
+    pulling toward.
+
+    ``vae_decode(params, latents) -> images in [-1, 1]``.
+    """
+    from garmentdreamer_tpu.guidance.scheduler import add_noise, ddim_step
+
+    cfg = guidance.cfg
+    B = rgb.shape[0]
+    rng_vae, rng_t, rng_noise = jax.random.split(rng, 3)
+    rgb512 = jax.image.resize(rgb, (B, cfg.image_size, cfg.image_size, 3), "bilinear")
+    latents = guidance.vae_encode(guidance.vae_params, rgb512 * 2.0 - 1.0, rng_vae)
+
+    min_step, max_step = guidance.min_max_step(
+        cfg.min_step_percent, cfg.max_step_percent
+    )
+    t = jax.random.randint(rng_t, (B,), min_step, max_step + 1)
+    noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
+    noisy = add_noise(guidance.schedule, latents, noise, t)
+
+    def cfg_eps(lat, tt):
+        lat_in = jnp.concatenate([lat, lat], axis=0)
+        t_in = jnp.concatenate([tt, tt], axis=0)
+        eps = guidance.unet_apply(guidance.unet_params, lat_in, t_in, text_embeddings)
+        e_c, e_u = jnp.split(eps, 2, axis=0)
+        return e_c + cfg.guidance_scale * (e_c - e_u)
+
+    eps0 = cfg_eps(noisy, t)
+    acp = guidance.schedule.alphas_cumprod[t].reshape(B, 1, 1, 1)
+    x0_1step = (noisy - jnp.sqrt(1 - acp) * eps0) / jnp.sqrt(acp)
+
+    # full DDIM from each sample's t down to 0 on a shared coarse schedule
+    ts_all = jnp.linspace(cfg.num_train_timesteps - 1, 0, num_steps).astype(jnp.int32)
+
+    def body(lat, i):
+        tt = ts_all[i]
+        t_prev = jnp.where(i + 1 < num_steps, ts_all[i + 1], -1)
+        # only steps at/below each sample's own t apply
+        active = (tt <= t)[:, None, None, None]
+        eps = cfg_eps(lat, jnp.full((B,), tt))
+        stepped = ddim_step(
+            guidance.schedule, lat, eps, jnp.full((B,), tt), jnp.full((B,), t_prev)
+        )
+        return jnp.where(active, stepped, lat), None
+
+    denoised, _ = jax.lax.scan(body, noisy, jnp.arange(num_steps))
+
+    def dec(z):
+        img = vae_decode(vae_decode_params, z)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    return {
+        "t": t,
+        "img_noisy": dec(noisy),
+        "img_1step": dec(x0_1step),
+        "img_final": dec(denoised),
+    }

@@ -82,7 +82,12 @@ def generate_3dgs(
         gcfg, dcfg, guidance=stack.sds, prompt_embeddings=stack.prompt_embeddings
     )
     st = system.init_state(template_path)
-    st, _ = system.fit(st)
+    st, _ = system.fit(
+        st,
+        ckpt_dir=os.path.join(save_dir, ".ckpt_3dgs"),
+        ckpt_every=200,
+        gs_check_dir=os.path.join(save_dir, "gs_check"),
+    )
     system.render_ring(st, save_dir)
     return save_dir, gcfg.bound
 

@@ -41,7 +41,7 @@ from garmentdreamer_tpu.guidance.sds import SDSGuidance
 from garmentdreamer_tpu.splat import state as state_mod
 from garmentdreamer_tpu.splat.densify import add_densification_stats, densify_and_prune
 from garmentdreamer_tpu.splat.optim import GaussianOptimConfig, make_optimizer, reset_moments_rows
-from garmentdreamer_tpu.splat.render import render_batch
+from garmentdreamer_tpu.splat.render import render_batch, render_view
 from garmentdreamer_tpu.splat.template import template_point_cloud
 
 __all__ = ["GaussianDreamerConfig", "GaussianDreamerSystem", "binary_cross_entropy"]
@@ -241,12 +241,20 @@ class GaussianDreamerSystem:
         callback: Optional[Callable] = None,
         ckpt_dir: Optional[str] = None,
         ckpt_every: int = 0,
+        gs_check_dir: Optional[str] = None,
+        val_interval: int = 100,
     ):
         """Run the SDS loop. With ``ckpt_dir`` set, training state
         (params/stats/opt_state/step) checkpoints every ``ckpt_every`` steps
         via orbax and resumes from the latest checkpoint automatically
         (SURVEY.md section 5.4 -- the reference plumbs cfg.resume but never uses it,
-        generate_3dgs.py:54,63)."""
+        generate_3dgs.py:54,63).
+
+        With ``gs_check_dir`` set, a fixed validation view renders to
+        ``gs_check/iter_{N}.png`` every ``val_interval`` steps -- the
+        reference's primary visual QA (GaussianDreamer.py:290-325,
+        gaussiandreamer-sd.yaml:74; README instructs inspecting gs_check to
+        verify template placement)."""
         cfg = self.cfg
         if opt_state is None:
             opt_state = self.init_optimizer(st)
@@ -288,6 +296,10 @@ class GaussianDreamerSystem:
             st, opt_state, _ = self.maybe_densify(step, st, opt_state, den_rng)
             if callback is not None:
                 callback(step, st, aux)
+            if gs_check_dir is not None and (
+                step % val_interval == 0 or step == cfg.max_steps - 1
+            ):
+                self._save_gs_check(st, gs_check_dir, step)
             if ckpt_dir is not None and ckpt_every > 0 and (
                 (step + 1) % ckpt_every == 0 or step == cfg.max_steps - 1
             ):
@@ -302,6 +314,26 @@ class GaussianDreamerSystem:
         return st, opt_state
 
     # -- evaluation / export ---------------------------------------------------
+    def _save_gs_check(self, st: state_mod.GaussianState, out_dir: str, step: int):
+        """One fixed front validation render (GaussianDreamer.py:290-325)."""
+        cfg = self.cfg
+        dcfg = self.data_cfg
+        H = W = min(dcfg.eval_height, 512)
+        c = core_cam.gs_camera_from_spherical(
+            15.0, 0.0, dcfg.eval_camera_distance,
+            float(np.deg2rad(dcfg.eval_fovy_deg)), H, W,
+        )
+        cams = {k: jnp.asarray(v) for k, v in c.as_arrays().items()}
+        out = render_view(
+            st, cams, jnp.asarray(cfg.bg_color, jnp.float32), H, W,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            max_per_tile=cfg.max_per_tile,
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        gio.save_rgb_png(
+            os.path.join(out_dir, f"iter_{step}.png"), np.asarray(out["render"])
+        )
+
     def render_ring(
         self,
         st: state_mod.GaussianState,

@@ -217,3 +217,39 @@ def test_sds_loss_and_gradient_flow():
     out = guidance(rgb, emb, jax.random.key(1), min_step_percent=0.02, max_step_percent=0.55)
     t = np.asarray(out["t"])
     assert (t >= 20).all() and (t <= 550).all()
+
+
+class TestGuidanceEval:
+    def test_preview_shapes_and_range(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from garmentdreamer_tpu.guidance import (
+            AutoencoderKL, SDSConfig, SDSGuidance, UNet2DCondition, UNetConfig, VAEConfig,
+        )
+        from garmentdreamer_tpu.guidance.sds import guidance_eval
+
+        ucfg = UNetConfig.tiny()
+        unet = UNet2DCondition(ucfg)
+        vae = AutoencoderKL(VAEConfig.tiny())
+        latent, img = 16, 32
+        up = unet.init(jax.random.key(0), jnp.zeros((1, latent, latent, 4)),
+                       jnp.array([0]), jnp.zeros((1, 7, ucfg.cross_attention_dim)))
+        vp = vae.init(jax.random.key(1), jnp.zeros((1, img, img, 3)), jax.random.key(2))
+        g = SDSGuidance(
+            SDSConfig(latent_size=latent, image_size=img, guidance_scale=7.5),
+            lambda p, l, t, c: unet.apply(p, l, t, c), up,
+            lambda p, x, r: vae.apply(p, x, r, method=AutoencoderKL.sample_latents), vp,
+        )
+        rgb = jax.random.uniform(jax.random.PRNGKey(0), (2, img, img, 3))
+        text = jax.random.normal(jax.random.PRNGKey(1), (4, 7, ucfg.cross_attention_dim))
+        out = guidance_eval(
+            g, lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode), vp,
+            rgb, text, jax.random.PRNGKey(2), num_steps=4,
+        )
+        for k in ("img_noisy", "img_1step", "img_final"):
+            a = np.asarray(out[k])
+            assert a.shape == (2, img, img, 3)
+            assert (a >= 0).all() and (a <= 1).all()
+        assert out["t"].shape == (2,)
