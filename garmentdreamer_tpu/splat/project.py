@@ -81,46 +81,87 @@ def project_gaussians(
     focal_x = width / (2.0 * tanfovx)
     focal_y = height / (2.0 * tanfovy)
 
-    # view/clip transforms (column-vector convention); full f32 matmuls --
-    # the TPU bf16 default would cost ~2px of projection accuracy at 1024^2
-    hi = jax.lax.Precision.HIGHEST
-    ones = jnp.ones((C, 1), xyz.dtype)
-    xyz_h = jnp.concatenate([xyz, ones], axis=1)
-    p_view = jnp.matmul(xyz_h, world_view.T, precision=hi)  # (C,4)
-    p_hom = jnp.matmul(xyz_h, full_proj.T, precision=hi)  # (C,4)
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
+    # All the small matrix algebra below is written ELEMENTWISE over (C,)
+    # columns: batched (C,3,3) matmuls with contraction dim 3 pad to 128 MXU
+    # lanes on TPU and measured ~50x slower than the equivalent VPU formulas.
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
 
-    tz = p_view[:, 2]
+    def xform_row(M, r):
+        return M[r, 0] * x + M[r, 1] * y + M[r, 2] * z + M[r, 3]
+
+    p_view_x = xform_row(world_view, 0)
+    p_view_y = xform_row(world_view, 1)
+    tz = xform_row(world_view, 2)
+    p_hom_x = xform_row(full_proj, 0)
+    p_hom_y = xform_row(full_proj, 1)
+    p_hom_w = xform_row(full_proj, 3)
+    p_w = 1.0 / (p_hom_w + 1e-7)
+    p_proj = jnp.stack([p_hom_x * p_w, p_hom_y * p_w], axis=-1)
+
     in_front = tz > 0.2  # near-plane cull (reference: auxiliary.h in_frustum)
     tz_safe = jnp.where(in_front, tz, 1.0)
 
-    # EWA: cov2D = J W Sigma W^T J^T (reference: forward.cu:74-113)
-    cov3d = build_cov3d(scaling, rotation_q, scaling_modifier)  # (C,3,3)
-    W = world_view[:3, :3]  # world->view rotation
+    # cov3D = (R diag(S))(R diag(S))^T, six unique entries (forward.cu:118-152)
+    q = rotation_q / jnp.clip(
+        jnp.linalg.norm(rotation_q, axis=-1, keepdims=True), 1e-12, None
+    )
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    s0 = scaling_modifier * scaling[:, 0]
+    s1 = scaling_modifier * scaling[:, 1]
+    s2 = scaling_modifier * scaling[:, 2]
+    m00 = (1 - 2 * (qy * qy + qz * qz)) * s0
+    m01 = (2 * (qx * qy - qw * qz)) * s1
+    m02 = (2 * (qx * qz + qw * qy)) * s2
+    m10 = (2 * (qx * qy + qw * qz)) * s0
+    m11 = (1 - 2 * (qx * qx + qz * qz)) * s1
+    m12 = (2 * (qy * qz - qw * qx)) * s2
+    m20 = (2 * (qx * qz - qw * qy)) * s0
+    m21 = (2 * (qy * qz + qw * qx)) * s1
+    m22 = (1 - 2 * (qx * qx + qy * qy)) * s2
+    c00 = m00 * m00 + m01 * m01 + m02 * m02
+    c01 = m00 * m10 + m01 * m11 + m02 * m12
+    c02 = m00 * m20 + m01 * m21 + m02 * m22
+    c11 = m10 * m10 + m11 * m11 + m12 * m12
+    c12 = m10 * m20 + m11 * m21 + m12 * m22
+    c22 = m20 * m20 + m21 * m21 + m22 * m22
 
+    # EWA: cov2D = J W Sigma W^T J^T (forward.cu:74-113)
+    W = world_view[:3, :3]  # world->view rotation (static 3x3)
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
-    txtz = jnp.clip(p_view[:, 0] / tz_safe, -limx, limx)
-    tytz = jnp.clip(p_view[:, 1] / tz_safe, -limy, limy)
+    txtz = jnp.clip(p_view_x / tz_safe, -limx, limx)
+    tytz = jnp.clip(p_view_y / tz_safe, -limy, limy)
     tx = txtz * tz_safe
     ty = tytz * tz_safe
 
-    zero = jnp.zeros_like(tz_safe)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz_safe, zero, -(focal_x * tx) / (tz_safe * tz_safe)], -1),
-            jnp.stack([zero, focal_y / tz_safe, -(focal_y * ty) / (tz_safe * tz_safe)], -1),
-        ],
-        axis=-2,
-    )  # (C,2,3)
-    T = jnp.matmul(J, W[None], precision=hi)  # (C,2,3)
-    cov2d = jnp.matmul(
-        jnp.matmul(T, cov3d, precision=hi), jnp.swapaxes(T, -1, -2), precision=hi
-    )  # (C,2,2)
-    cov_a = cov2d[:, 0, 0] + 0.3
-    cov_b = cov2d[:, 0, 1]
-    cov_c = cov2d[:, 1, 1] + 0.3
+    inv_z = 1.0 / tz_safe
+    j00 = focal_x * inv_z
+    j02 = -(focal_x * tx) * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -(focal_y * ty) * inv_z * inv_z
+    # T = J @ W: row 0 = j00*W[0,:] + j02*W[2,:]; row 1 = j11*W[1,:] + j12*W[2,:]
+    t00 = j00 * W[0, 0] + j02 * W[2, 0]
+    t01 = j00 * W[0, 1] + j02 * W[2, 1]
+    t02 = j00 * W[0, 2] + j02 * W[2, 2]
+    t10 = j11 * W[1, 0] + j12 * W[2, 0]
+    t11 = j11 * W[1, 1] + j12 * W[2, 1]
+    t12 = j11 * W[1, 2] + j12 * W[2, 2]
+
+    # cov2d = T Sigma T^T with symmetric Sigma
+    cov_a = (
+        t00 * t00 * c00 + t01 * t01 * c11 + t02 * t02 * c22
+        + 2.0 * (t00 * t01 * c01 + t00 * t02 * c02 + t01 * t02 * c12)
+    ) + 0.3
+    cov_b = (
+        t00 * t10 * c00 + t01 * t11 * c11 + t02 * t12 * c22
+        + (t00 * t11 + t01 * t10) * c01
+        + (t00 * t12 + t02 * t10) * c02
+        + (t01 * t12 + t02 * t11) * c12
+    )
+    cov_c = (
+        t10 * t10 * c00 + t11 * t11 * c11 + t12 * t12 * c22
+        + 2.0 * (t10 * t11 * c01 + t10 * t12 * c02 + t11 * t12 * c12)
+    ) + 0.3
 
     det = cov_a * cov_c - cov_b * cov_b
     det_valid = det > 0.0
