@@ -24,7 +24,14 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-__all__ = ["load_torch_weights", "convert_sd_unet", "convert_sd_vae", "load_sd_weights"]
+__all__ = [
+    "load_torch_weights",
+    "convert_sd_unet",
+    "convert_sd_vae",
+    "convert_sd_text_encoder",
+    "load_sd_weights",
+    "load_sd_text_encoder",
+]
 
 
 def load_torch_weights(path: str) -> Dict[str, np.ndarray]:
@@ -229,12 +236,54 @@ def convert_sd_vae(
     return {"encoder": enc, "decoder": dec}
 
 
-def _find_weight_file(d: str) -> str:
-    for n in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin"):
+def convert_sd_text_encoder(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """transformers CLIPTextModel state dict -> our Flax CLIP param tree
+    (reference consumer: stable_diffusion_prompt_processor.py:15-41)."""
+    from garmentdreamer_tpu.guidance.clip import convert_clip_text_encoder
+
+    return convert_clip_text_encoder(sd)
+
+
+def _find_weight_file(d: str, names=("diffusion_pytorch_model.safetensors",
+                                     "diffusion_pytorch_model.bin")) -> str:
+    for n in names:
         p = os.path.join(d, n)
         if os.path.isfile(p):
             return p
     raise FileNotFoundError(f"no diffusers weight file in {d}")
+
+
+def load_sd_text_encoder(weights_dir: str):
+    """Checkpoint dir -> (CLIPTextConfig, flax params) for the text encoder.
+
+    Reads ``text_encoder/config.json`` for the architecture (hidden size,
+    layers, heads, activation) and converts the torch weights.
+    """
+    import json
+
+    from garmentdreamer_tpu.guidance.clip import CLIPTextConfig
+
+    d = os.path.join(weights_dir, "text_encoder")
+    sd = load_torch_weights(
+        _find_weight_file(d, ("model.safetensors", "pytorch_model.bin",
+                              "model.fp16.safetensors"))
+    )
+    cfg_path = os.path.join(d, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            hf = json.load(f)
+        cfg = CLIPTextConfig(
+            vocab_size=hf.get("vocab_size", 49408),
+            hidden_size=hf.get("hidden_size", 1024),
+            num_layers=hf.get("num_hidden_layers", 23),
+            num_heads=hf.get("num_attention_heads", 16),
+            intermediate_size=hf.get("intermediate_size", 4096),
+            max_position_embeddings=hf.get("max_position_embeddings", 77),
+            hidden_act=hf.get("hidden_act", "gelu"),
+        )
+    else:
+        cfg = CLIPTextConfig.sd21()
+    return cfg, convert_sd_text_encoder(sd)
 
 
 def load_sd_weights(weights_dir: str):

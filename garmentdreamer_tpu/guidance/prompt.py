@@ -179,6 +179,43 @@ def select_text_embeddings(
     return jnp.concatenate([cond, uncond], axis=0)
 
 
+def make_flax_clip_encode_fn(weights_dir: str, max_length: int = 77) -> Callable:
+    """Text encoder as one jitted Flax call on the converted SD checkpoint.
+
+    Tokenization runs on host via the checkpoint's own tokenizer files
+    (``weights_dir/tokenizer``); the CLIP transformer runs on-device through
+    :class:`garmentdreamer_tpu.guidance.clip.CLIPTextModel`. This is the real
+    weights path the reference implements with a torch CLIPTextModel in a
+    subprocess (stable_diffusion_prompt_processor.py:15-41, base.py:377-395).
+    """
+    from garmentdreamer_tpu.guidance.clip import CLIPTextModel
+    from garmentdreamer_tpu.guidance.convert import load_sd_text_encoder
+
+    cfg, params = load_sd_text_encoder(weights_dir)
+    model = CLIPTextModel(cfg)
+
+    def encode(prompts: Sequence[str]) -> np.ndarray:
+        from transformers import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.from_pretrained(weights_dir, subfolder="tokenizer")
+        tokens = tokenizer(
+            list(prompts),
+            padding="max_length",
+            max_length=max_length,
+            truncation=True,
+            return_tensors="np",
+        )
+        import jax
+
+        # full f32 matmuls: embedding runs once per prompt set, and TPU's
+        # default bf16 matmul precision costs ~2e-2 absolute error here
+        with jax.default_matmul_precision("highest"):
+            out = jax.jit(model.apply)(params, jnp.asarray(tokens.input_ids, jnp.int32))
+        return np.asarray(out, np.float32)
+
+    return encode
+
+
 def make_clip_encode_fn(model_path: str, max_length: int = 77) -> Callable:
     """Text encoder via transformers CLIPTextModel on host CPU.
 

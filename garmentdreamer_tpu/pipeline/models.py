@@ -126,10 +126,31 @@ def build_guidance_stack(
     def vae_encode(params, images, rng_):
         return vae.apply(params, images, rng_, method=AutoencoderKL.sample_latents)
 
-    encode_fn = pseudo_encode_fn(ctx_dim)
+    # real CLIP text conditioning whenever a checkpoint is present; the
+    # hash-seeded pseudo embedding is ONLY the weights-free fallback
+    # (reference: stable_diffusion_prompt_processor.py:15-101)
+    encode_fn = None
+    if weights_dir is not None:
+        try:
+            from garmentdreamer_tpu.guidance.prompt import make_flax_clip_encode_fn
+
+            encode_fn = make_flax_clip_encode_fn(weights_dir)
+        except Exception as e:  # pragma: no cover - depends on weights presence
+            warnings.warn(f"could not load CLIP text encoder from {weights_dir}: {e}")
+    if encode_fn is None:
+        if scale == "sd21":
+            warnings.warn(
+                "no CLIP text encoder available; prompts are embedded with the "
+                "deterministic pseudo encoder (plumbing-only conditioning)"
+            )
+        encode_fn = pseudo_encode_fn(ctx_dim)
+        model_tag = "pseudo"  # distinct cache key: never shadows real CLIP output
+    else:
+        model_tag = weights_dir
     pcfg = PromptConfig(
         prompt=prompt,
         negative_prompt=negative_prompt,
+        pretrained_model_name_or_path=model_tag,
         cache_dir=cache_dir or ".gd_cache/text_embeddings",
     )
     prompt_embeddings = PromptProcessor(pcfg, encode_fn=encode_fn)()
