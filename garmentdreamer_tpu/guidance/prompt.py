@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 import os
 from dataclasses import dataclass, field
-from typing import Callable, List, NamedTuple, Optional, Sequence
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +37,8 @@ __all__ = [
     "compose_view_prompts",
     "PromptProcessor",
     "select_text_embeddings",
+    "shifted_exponential_decay",
+    "get_text_embeddings_perp_neg",
 ]
 
 DIRECTION_NAMES = ("side", "front", "back", "overhead")
@@ -54,6 +56,12 @@ class PromptConfig:
     view_dependent_prompt_front: bool = False
     pretrained_model_name_or_path: str = "stabilityai/stable-diffusion-2-1-base"
     cache_dir: str = ".gdtpu_cache/text_embeddings"
+    # Perp-Neg (reference base.py:195-206; a*exp(-b*r)+c decay coefficients)
+    use_perp_neg: bool = False
+    perp_neg_f_sb: Tuple[float, float, float] = (1.0, 0.5, -0.606)
+    perp_neg_f_fsb: Tuple[float, float, float] = (1.0, 0.5, 0.967)
+    perp_neg_f_fs: Tuple[float, float, float] = (4.0, 0.5, -2.426)
+    perp_neg_f_sf: Tuple[float, float, float] = (4.0, 0.5, -2.426)
 
 
 class PromptEmbeddings(NamedTuple):
@@ -177,6 +185,69 @@ def select_text_embeddings(
         cond = jnp.broadcast_to(emb.text[None], (B,) + emb.text.shape)
         uncond = jnp.broadcast_to(emb.uncond[None], (B,) + emb.uncond.shape)
     return jnp.concatenate([cond, uncond], axis=0)
+
+
+def shifted_exponential_decay(a: float, b: float, c: float, r: jnp.ndarray) -> jnp.ndarray:
+    """a*exp(-b*r) + c (reference: threestudio/utils/ops.py:423-424)."""
+    return a * jnp.exp(-b * r) + c
+
+
+def get_text_embeddings_perp_neg(
+    emb: PromptEmbeddings,
+    elevation_deg: jnp.ndarray,  # (B,)
+    azimuth_deg: jnp.ndarray,  # (B,)
+    cfg: PromptConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Perp-Neg embeddings: -> ((4B, L, D), (B, 2) negative guidance weights).
+
+    Vectorized re-design of the reference's per-view python loop
+    (base.py:80-165): the positive embedding interpolates between the
+    front/side/back direction embeddings by azimuth, and two negative
+    direction embeddings get exp-decay weights whose perpendicular component
+    is subtracted in the guidance (stable_diffusion_guidance.py:196-232).
+
+    Output layout matches the reference's 4-way batch: ``pos(B) ++ uncond(B)
+    ++ negs(2B interleaved per view)``; weights row i is view i's two
+    negative weights.
+    """
+    idx = view_direction_index(
+        elevation_deg, azimuth_deg,
+        cfg.front_threshold, cfg.back_threshold, cfg.overhead_threshold,
+    )
+    azi = jnp.abs(shift_azimuth_deg(azimuth_deg))  # (B,)
+    side, front, back, overhead = (emb.text_vd[i] for i in range(4))
+
+    is_over = (idx == 3)[:, None, None]
+    is_fs = (azi < 90.0)[:, None, None]
+    r_fs = (1.0 - azi / 90.0)[:, None, None]  # 1=front .. 0=side
+    r_sb = (2.0 - azi / 90.0)[:, None, None]  # 1=side  .. 0=back
+
+    pos_fs = r_fs * front[None] + (1.0 - r_fs) * side[None]
+    pos_sb = r_sb * side[None] + (1.0 - r_sb) * back[None]
+    uncond = emb.uncond_vd[idx]  # (B, L, D)
+    pos = jnp.where(is_over, overhead[None], jnp.where(is_fs, pos_fs, pos_sb))
+
+    B = elevation_deg.shape[0]
+    front_b = jnp.broadcast_to(front[None], pos.shape)
+    side_b = jnp.broadcast_to(side[None], pos.shape)
+    neg0 = jnp.where(is_over, uncond, jnp.where(is_fs, front_b, side_b))
+    neg1 = jnp.where(is_over, uncond, jnp.where(is_fs, side_b, front_b))
+
+    d = shifted_exponential_decay
+    r_fs1, r_sb1 = r_fs[:, 0, 0], r_sb[:, 0, 0]
+    w0 = jnp.where(
+        azi < 90.0, -d(*cfg.perp_neg_f_fs, r_fs1), -d(*cfg.perp_neg_f_sb, r_sb1)
+    )
+    w1 = jnp.where(
+        azi < 90.0, -d(*cfg.perp_neg_f_sf, 1.0 - r_fs1), -d(*cfg.perp_neg_f_fsb, r_sb1)
+    )
+    over = idx == 3
+    w0 = jnp.where(over, 0.0, w0)
+    w1 = jnp.where(over, 0.0, w1)
+
+    negs = jnp.stack([neg0, neg1], axis=1).reshape(2 * B, *pos.shape[1:])
+    text = jnp.concatenate([pos, uncond, negs], axis=0)
+    return text, jnp.stack([w0, w1], axis=1)
 
 
 def make_flax_clip_encode_fn(weights_dir: str, max_length: int = 77) -> Callable:

@@ -32,7 +32,16 @@ import jax.numpy as jnp
 
 from garmentdreamer_tpu.guidance.scheduler import DiffusionSchedule, add_noise, make_schedule
 
-__all__ = ["SDSConfig", "SDSGuidance", "guidance_eval"]
+__all__ = ["SDSConfig", "SDSGuidance", "guidance_eval", "perpendicular_component"]
+
+
+def perpendicular_component(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Component of x perpendicular to y, per batch element
+    (reference: threestudio/utils/ops.py:431-442)."""
+    axes = tuple(range(1, x.ndim))
+    dot = jnp.sum(x * y, axis=axes, keepdims=True)
+    yy = jnp.maximum(jnp.sum(y * y, axis=axes, keepdims=True), 1e-6)
+    return x - (dot / yy) * y
 
 
 @dataclass(frozen=True)
@@ -81,7 +90,14 @@ class SDSGuidance:
         max_step_percent: Optional[float] = None,
         grad_clip_val: Optional[jnp.ndarray] = None,
         rgb_as_latents: bool = False,
+        neg_guidance_weights: Optional[jnp.ndarray] = None,  # (B, 2) => perp-neg
     ) -> Dict[str, jnp.ndarray]:
+        """With ``neg_guidance_weights`` given, ``text_embeddings`` must be the
+        (4B, L, D) perp-neg layout from
+        :func:`garmentdreamer_tpu.guidance.prompt.get_text_embeddings_perp_neg`
+        and the 4-way-batch perp-neg guidance is used (reference:
+        stable_diffusion_guidance.py:185-232); otherwise the plain (2B, L, D)
+        cond ++ uncond CFG path runs."""
         cfg = self.cfg
         B = rgb.shape[0]
         rng_vae, rng_t, rng_noise = jax.random.split(rng, 3)
@@ -105,12 +121,30 @@ class SDSGuidance:
         noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
         latents_noisy = add_noise(self.schedule, jax.lax.stop_gradient(latents), noise, t)
 
-        # one batched UNet call for cond+uncond over all views
-        latent_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
-        t_in = jnp.concatenate([t, t], axis=0)
-        eps_pred = self.unet_apply(self.unet_params, latent_in, t_in, text_embeddings)
-        eps_cond, eps_uncond = jnp.split(eps_pred, 2, axis=0)
-        eps_hat = eps_cond + cfg.guidance_scale * (eps_cond - eps_uncond)
+        if neg_guidance_weights is not None:
+            # perp-neg: [pos, uncond, neg0, neg1] in one 4B batch
+            # (reference: stable_diffusion_guidance.py:196-227)
+            latent_in = jnp.concatenate([latents_noisy] * 4, axis=0)
+            t_in = jnp.concatenate([t] * 4, axis=0)
+            eps_pred = self.unet_apply(self.unet_params, latent_in, t_in, text_embeddings)
+            eps_text = eps_pred[:B]
+            eps_uncond = eps_pred[B : 2 * B]
+            eps_neg = eps_pred[2 * B :]  # (2B,...) interleaved [v0n0, v0n1, v1n0, ...]
+            e_pos = eps_text - eps_uncond
+            accum = jnp.zeros_like(e_pos)
+            for i in range(2):
+                e_i_neg = eps_neg[i::2] - eps_uncond
+                accum = accum + neg_guidance_weights[:, i].reshape(
+                    B, 1, 1, 1
+                ) * perpendicular_component(e_i_neg, e_pos)
+            eps_hat = eps_uncond + cfg.guidance_scale * (e_pos + accum)
+        else:
+            # one batched UNet call for cond+uncond over all views
+            latent_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            eps_pred = self.unet_apply(self.unet_params, latent_in, t_in, text_embeddings)
+            eps_cond, eps_uncond = jnp.split(eps_pred, 2, axis=0)
+            eps_hat = eps_cond + cfg.guidance_scale * (eps_cond - eps_uncond)
 
         acp_t = self.schedule.alphas_cumprod[t].reshape(B, 1, 1, 1)
         if cfg.weighting_strategy == "sds":
