@@ -203,11 +203,14 @@ def deformation(
             l_mask = mask_loss(tgt_mask, g["mask"])
             l_nc = normal_consistency_loss(verts, faces, connected)
             l_lap = laplacian_loss(verts, edges, degree)
-            return w_mask1 * l_mask + w_nc1 * l_nc + w_lap1 * l_lap, (l_mask, l_nc, l_lap)
+            return (
+                w_mask1 * l_mask + w_nc1 * l_nc + w_lap1 * l_lap,
+                (l_mask, l_nc, l_lap, g["n_dropped"]),
+            )
 
         (loss, aux), grad = jax.value_and_grad(loss_fn, has_aux=True)(offsets)
         updates, opt_state = vertex_opt.update(grad, opt_state)
-        return optax.apply_updates(offsets, updates), opt_state, loss
+        return optax.apply_updates(offsets, updates), opt_state, loss, aux[3]
 
     # ---- stage-2 jitted step ----
     stage2_weights = {
@@ -260,6 +263,7 @@ def deformation(
                 weights["laplacian"] = w_lap
                 weights["normal_consistency"] = w_nc
                 total = sum(weights[k] * v for k, v in l.items())
+                l["n_dropped"] = g["n_dropped"]
                 return total, l
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, (0, 1), has_aux=True)(
@@ -273,7 +277,7 @@ def deformation(
 
             sh_updates, sh_opt_state = shader_opt.update(g_sh, sh_opt_state)
             sh_params = optax.apply_updates(sh_params, sh_updates)
-            return offsets, sh_params, sh_opt_state, loss
+            return offsets, sh_params, sh_opt_state, loss, aux["n_dropped"]
 
         return step2
 
@@ -281,14 +285,22 @@ def deformation(
     offsets = jnp.zeros_like(v0)
     lo, hi = cfg.picked_views_first
     view_pool1 = [i for i in range(lo, min(hi, len(views)))] or list(range(len(views)))
+    nd_warned = False
     for it in range(1, cfg.iterations_first + 1):
         vi = int(rng.choice(view_pool1))
-        offsets, vertex_opt_state, loss = step1(
+        offsets, vertex_opt_state, loss, nd = step1(
             offsets,
             vertex_opt_state,
             jnp.asarray(mvps[vi]),
             jnp.asarray(targets["mask"][vi]),
         )
+        if not nd_warned and int(nd) > 0:
+            print(
+                f"[deformer] stage-1 it {it}: {int(nd)} triangle instances "
+                "dropped by rasterizer caps -- raise max_tiles_per_tri/"
+                "max_per_tile", flush=True,
+            )
+            nd_warned = True
         if cfg.save_frequency > 0 and (it == 1 or it % cfg.save_frequency == 0):
             _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv)
 
@@ -331,7 +343,7 @@ def deformation(
         ) if cfg.optim_only_visible else jnp.ones((verts_now.shape[0],), bool)
 
         key, sub = jax.random.split(key)
-        offsets, shader_params, shader_opt_state, loss = step2(
+        offsets, shader_params, shader_opt_state, loss, nd = step2(
             offsets, rf_verts, shader_params, shader_opt_state,
             mvp_d, jnp.asarray(Rs[vi]), jnp.asarray(centers[vi]),
             jnp.asarray(targets["mask"][vi]),
@@ -339,6 +351,13 @@ def deformation(
             jnp.asarray(targets["rgb"][vi]),
             vis, sub,
         )
+        if not nd_warned and int(nd) > 0:
+            print(
+                f"[deformer] stage-2 it {it}: {int(nd)} triangle instances "
+                "dropped by rasterizer caps -- raise max_tiles_per_tri/"
+                "max_per_tile", flush=True,
+            )
+            nd_warned = True
         if cfg.save_frequency > 0 and it % cfg.save_frequency == 0:
             _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv)
 

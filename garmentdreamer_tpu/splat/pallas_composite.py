@@ -38,9 +38,10 @@ TPB = 8  # tiles per grid program
 __all__ = ["composite_tiles_pallas", "TPB"]
 
 
-def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x, max_off):
+def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
+            max_off, tpb, relative_means):
     blk = pl.program_id(0)
-    t_base = blk * TPB
+    t_base = blk * tpb
 
     row = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
@@ -65,23 +66,31 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
         t = t_base + i
         slot = i % 2
 
-        @pl.when(i + 1 < TPB)
+        @pl.when(i + 1 < tpb)
         def _():
             get_dma((i + 1) % 2, t + 1).start()
 
         get_dma(slot, t).wait()
-        rows = scratch[slot]  # (16, W); rows 10..15 are padding
+        rows = scratch[slot].astype(jnp.float32)  # (16, W); rows 10..15 pad
         s = starts_ref[t]
         e = starts_ref[t + 1]
         off = off_of(t)
 
         ty = t // tiles_x
         tx = t % tiles_x
-        px = (tx * TILE + (lin % TILE)).astype(jnp.float32)  # (1, PIX)
-        py = (ty * TILE + (lin // TILE)).astype(jnp.float32)
+        if relative_means:
+            # bf16 payload mode: means are stored tile-relative, so pixel
+            # coordinates are tile-local too (keeps bf16 sub-pixel precision)
+            px = (lin % TILE).astype(jnp.float32)  # (1, PIX)
+            py = (lin // TILE).astype(jnp.float32)
+        else:
+            px = (tx * TILE + (lin % TILE)).astype(jnp.float32)  # (1, PIX)
+            py = (ty * TILE + (lin // TILE)).astype(jnp.float32)
 
         idx = off + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        in_range = ((idx >= s) & (idx < e)).astype(jnp.float32)  # (W, 1)
+        # cap at s+K exactly like the XLA tile path's max_per_tile window
+        e_cap = jnp.minimum(e, s + (W - ALIGN))
+        in_range = ((idx >= s) & (idx < e_cap)).astype(jnp.float32)  # (W, 1)
 
         mx = rows[0, :][:, None]  # (W, 1)
         my = rows[1, :][:, None]
@@ -113,7 +122,7 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
         out_ref[i, 4:5, :] = acc_d
         return 0
 
-    jax.lax.fori_loop(0, TPB, body, 0)
+    jax.lax.fori_loop(0, tpb, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "tiles_x", "K"))
@@ -126,33 +135,42 @@ def composite_tiles_pallas(
     K: int = 256,
 ):
     """-> (T, 5, 256): per-tile [r, g, b, alpha, depth] x pixels (row-major
-    16x16, x fastest)."""
+    16x16, x fastest).
+
+    ``inst_attrs_t`` may be float32 (absolute pixel means) or bfloat16
+    (means stored tile-relative; halves sort+DMA bytes, ~0.4% value error).
+    """
     assert K % ALIGN == 0, "K must be a multiple of 128"
-    assert n_tiles % TPB == 0, "tile count must divide the per-program batch"
+    tpb = next(d for d in (TPB, 4, 2, 1) if n_tiles % d == 0)
     W = K + ALIGN  # window width: K capacity + slack for the align-down shift
+    dtype = inst_attrs_t.dtype
+    relative_means = dtype == jnp.bfloat16
     L = inst_attrs_t.shape[1]
     # L and max_off must stay ALIGN-multiples for the divisibility hint
     pad_l = max(W - L, (-L) % ALIGN)
-    # pad rows 10 -> 16 for Mosaic sublane (8) alignment of the HBM slice
+    # pad rows 10 -> 16 for Mosaic sublane alignment of the HBM slice
     inst_attrs_t = jnp.pad(
         inst_attrs_t, ((0, 16 - inst_attrs_t.shape[0]), (0, pad_l))
     )
     L = L + pad_l
     max_off = L - W
 
-    kernel = functools.partial(_kernel, W=W, tiles_x=tiles_x, max_off=max_off)
+    kernel = functools.partial(
+        _kernel, W=W, tiles_x=tiles_x, max_off=max_off, tpb=tpb,
+        relative_means=relative_means,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles // TPB,),
+        grid=(n_tiles // tpb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # inst_attrs stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
         out_specs=pl.BlockSpec(
-            (TPB, 5, PIX), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            (tpb, 5, PIX), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, W), jnp.float32),  # double-buffered windows
+            pltpu.VMEM((2, 16, W), dtype),  # double-buffered windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

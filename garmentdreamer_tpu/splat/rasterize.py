@@ -43,7 +43,14 @@ import jax.numpy as jnp
 from garmentdreamer_tpu.splat.project import Projected
 from garmentdreamer_tpu.splat.rasterize_ref import composite_depth_ordered
 
-__all__ = ["TileBinning", "bin_gaussians", "rasterize_tiled", "TILE"]
+__all__ = [
+    "TileBinning",
+    "bin_gaussians",
+    "rasterize_tiled",
+    "rasterize_tiled_fast",
+    "rasterize_hybrid",
+    "TILE",
+]
 
 TILE = 16  # pixels per tile side (reference: config.h BLOCK_X/BLOCK_Y)
 
@@ -121,7 +128,10 @@ def bin_gaussians(
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "max_tiles_per_gaussian", "max_per_tile", "tile_chunk"),
+    static_argnames=(
+        "height", "width", "max_tiles_per_gaussian", "max_per_tile", "tile_chunk",
+        "big_budget", "big_tiles",
+    ),
 )
 def rasterize_tiled(
     proj: Projected,
@@ -131,6 +141,8 @@ def rasterize_tiled(
     max_tiles_per_gaussian: int = 32,
     max_per_tile: int = 512,
     tile_chunk: int = 256,
+    big_budget: int = 0,
+    big_tiles: int = 64,
 ):
     """Render (H,W,3) color + (H,W) alpha + (H,W) expected depth.
 
@@ -153,43 +165,14 @@ def rasterize_tiled(
     # depth-ordered AND fully materialized -- no gathers anywhere (a 2M-row
     # gather costs ~50ms on TPU; the payload sort is ~5ms).
     # ------------------------------------------------------------------
-    means2d = jax.lax.stop_gradient(proj.means2d)
-    depths_sg = jax.lax.stop_gradient(proj.depths)
-    C = means2d.shape[0]
-    R = max_tiles_per_gaussian
-    visible = proj.radii > 0
-
-    x0, y0, x1, y1 = _tile_rect(
-        means2d, jnp.where(visible, proj.radii, 0), tiles_x, tiles_y
+    tile_flat, payloads, n_dropped = _expand_operands(
+        proj, height, width, max_tiles_per_gaussian,
+        big_budget=big_budget, big_tiles=big_tiles,
     )
-    w = x1 - x0
-    count = jnp.where(visible, w * (y1 - y0), 0)
-    n_dropped = jnp.sum(jnp.maximum(count - R, 0))
-
-    slot = jnp.arange(R, dtype=jnp.int32)
-    w_safe = jnp.maximum(w, 1)[:, None]
-    tx_id = x0[:, None] + slot[None, :] % w_safe
-    ty_id = y0[:, None] + slot[None, :] // w_safe
-    valid = slot[None, :] < jnp.minimum(count, R)[:, None]
-    tile_id = jnp.where(valid, ty_id * tiles_x + tx_id, n_tiles).astype(jnp.int32)
-
-    opac_v = jnp.where(proj.radii > 0, proj.opacities, 0.0)
-    # broadcast per-gaussian attrs to per-instance (C, R) and flatten;
-    # invalid slots get opacity 0 so they composite to nothing
-    def bcast(col):
-        return jnp.broadcast_to(col[:, None], (C, R)).reshape(-1)
-
-    op_inst = jnp.where(valid, opac_v[:, None], 0.0).reshape(-1)
-    operands = (
-        tile_id.reshape(-1),
-        bcast(depths_sg),
-        bcast(proj.means2d[:, 0]), bcast(proj.means2d[:, 1]),
-        bcast(proj.conics[:, 0]), bcast(proj.conics[:, 1]), bcast(proj.conics[:, 2]),
-        bcast(proj.colors[:, 0]), bcast(proj.colors[:, 1]), bcast(proj.colors[:, 2]),
-        op_inst,
-        bcast(proj.depths),
+    depths_sg = jax.lax.stop_gradient(payloads[9])
+    sorted_ops = jax.lax.sort(
+        (tile_flat, depths_sg, *payloads), num_keys=2, is_stable=False
     )
-    sorted_ops = jax.lax.sort(operands, num_keys=2, is_stable=False)
     tile_sorted = sorted_ops[0]
     inst_attrs = jnp.stack(sorted_ops[2:], axis=1)  # (L, 10)
     L = inst_attrs.shape[0]
@@ -248,3 +231,251 @@ def rasterize_tiled(
     a = assemble(alpha[..., None], 1)[..., 0]
     d = assemble(depth[..., None], 1)[..., 0]
     return img, a, d, n_dropped
+
+
+def _slot_tiles(x0, y0, w, tiles_x, R):
+    """(N,R) tile ids for the first R tiles of each rect (row-major scan)."""
+    slot = jnp.arange(R, dtype=jnp.int32)
+    w_safe = jnp.maximum(w, 1)[:, None]
+    tx_id = x0[:, None] + slot[None, :] % w_safe
+    ty_id = y0[:, None] + slot[None, :] // w_safe
+    return ty_id * tiles_x + tx_id
+
+
+def _expand_operands(
+    proj: Projected,
+    height: int,
+    width: int,
+    R: int,
+    big_budget: int = 0,
+    big_tiles: int = 64,
+):
+    """Instance expansion shared by the XLA and Pallas forward paths:
+    -> (tile_flat (L,) i32, payload tuple of 10 (L,) f32, n_dropped).
+
+    Two-class design (the CUDA rasterizer sizes its key buffer dynamically
+    from a prefix sum, rasterizer_impl.cu:278-286; XLA needs static shapes):
+
+    * every gaussian whose rect covers <= ``R`` tiles gets ``R`` slots;
+    * when ``big_budget`` > 0, up to that many bigger gaussians are compacted
+      (key-only sort, indices packed in the key) and expanded with
+      ``big_tiles`` slots each, so a handful of large splats can't silently
+      lose tiles;
+    * ``n_dropped`` counts whatever still falls off either cap.
+
+    With ``big_budget=0`` the single-class behavior is unchanged: bigs keep
+    their first ``R`` tiles and the remainder is counted dropped.
+    """
+    tiles_x = width // TILE
+    tiles_y = height // TILE
+    n_tiles = tiles_x * tiles_y
+    means2d = jax.lax.stop_gradient(proj.means2d)
+    C = means2d.shape[0]
+    visible = proj.radii > 0
+
+    x0, y0, x1, y1 = _tile_rect(
+        means2d, jnp.where(visible, proj.radii, 0), tiles_x, tiles_y
+    )
+    w = x1 - x0
+    count = jnp.where(visible, w * (y1 - y0), 0)
+
+    opac_v = jnp.where(proj.radii > 0, proj.opacities, 0.0)
+
+    def bcast(col, R_):
+        return jnp.broadcast_to(col[:, None], (col.shape[0], R_)).reshape(-1)
+
+    tiles_main = _slot_tiles(x0, y0, w, tiles_x, R)
+    slot = jnp.arange(R, dtype=jnp.int32)
+
+    if big_budget == 0:
+        valid = slot[None, :] < jnp.minimum(count, R)[:, None]
+        n_dropped = jnp.sum(jnp.maximum(count - R, 0))
+        tile_id = jnp.where(valid, tiles_main, n_tiles).astype(jnp.int32)
+        payloads = (
+            bcast(proj.means2d[:, 0], R), bcast(proj.means2d[:, 1], R),
+            bcast(proj.conics[:, 0], R), bcast(proj.conics[:, 1], R),
+            bcast(proj.conics[:, 2], R),
+            bcast(proj.colors[:, 0], R), bcast(proj.colors[:, 1], R),
+            bcast(proj.colors[:, 2], R),
+            jnp.where(valid, opac_v[:, None], 0.0).reshape(-1),
+            bcast(proj.depths, R),
+        )
+        return tile_id.reshape(-1), payloads, n_dropped
+
+    B, Rb = big_budget, big_tiles
+    assert C < (1 << 20), "index packing supports up to 2^20 gaussians"
+    big = count > R  # handled exclusively by the big class (no double cover)
+
+    # main class: small gaussians only
+    valid = (slot[None, :] < count[:, None]) & (~big)[:, None]
+    tile_main = jnp.where(valid, tiles_main, n_tiles).astype(jnp.int32)
+
+    # compact the big indices with a KEY-ONLY sort (payload-free sorts are
+    # ~4x cheaper on TPU): key = (!big << 20) | index, ascending puts bigs
+    # first ordered by index
+    idx = jnp.arange(C, dtype=jnp.int32)
+    ckey = jnp.where(big, idx, idx | (1 << 20))
+    ckey_sorted = jax.lax.sort(ckey)
+    big_rank_key = ckey_sorted[:B]  # (B,)
+    big_is_real = big_rank_key < (1 << 20)
+    bigidx = jnp.where(big_is_real, big_rank_key & ((1 << 20) - 1), 0)
+
+    gx0, gy0, gw = x0[bigidx], y0[bigidx], w[bigidx]
+    gcount = jnp.where(big_is_real, count[bigidx], 0)
+    tiles_big = _slot_tiles(gx0, gy0, gw, tiles_x, Rb)
+    slot_b = jnp.arange(Rb, dtype=jnp.int32)
+    valid_b = slot_b[None, :] < jnp.minimum(gcount, Rb)[:, None]
+    tile_big = jnp.where(valid_b, tiles_big, n_tiles).astype(jnp.int32)
+
+    # drops: big tiles beyond Rb, plus bigs beyond the B budget entirely
+    # (cumsum(big) at a big position is its 1-based rank in the compact list)
+    n_dropped = jnp.sum(jnp.maximum(gcount - Rb, 0)) + jnp.sum(
+        jnp.where((jnp.cumsum(big) > B) & big, count, 0)
+    )
+
+    def col2(col):
+        return jnp.concatenate([bcast(col, R), bcast(col[bigidx], Rb)])
+
+    op_main = jnp.where(valid, opac_v[:, None], 0.0).reshape(-1)
+    op_big = jnp.where(valid_b, opac_v[bigidx][:, None], 0.0).reshape(-1)
+    tile_flat = jnp.concatenate([tile_main.reshape(-1), tile_big.reshape(-1)])
+    payloads = (
+        col2(proj.means2d[:, 0]), col2(proj.means2d[:, 1]),
+        col2(proj.conics[:, 0]), col2(proj.conics[:, 1]), col2(proj.conics[:, 2]),
+        col2(proj.colors[:, 0]), col2(proj.colors[:, 1]), col2(proj.colors[:, 2]),
+        jnp.concatenate([op_main, op_big]),
+        col2(proj.depths),
+    )
+    return tile_flat, payloads, n_dropped
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "max_tiles_per_gaussian", "max_per_tile",
+        "big_budget", "big_tiles", "payload_dtype",
+    ),
+)
+def rasterize_tiled_fast(
+    proj: Projected,
+    height: int,
+    width: int,
+    bg: jnp.ndarray,
+    max_tiles_per_gaussian: int = 16,
+    max_per_tile: int = 256,
+    big_budget: int = 0,
+    big_tiles: int = 64,
+    payload_dtype: str = "f32",
+):
+    """Inference-speed forward: packed u32 (tile|depth) key sort + the Pallas
+    tile compositor (the CUDA FORWARD::render analog, forward.cu:261-381).
+
+    Numerics match :func:`rasterize_tiled` except (a) depth ordering is
+    resolved on the top bits of the f32 depth (ties between near-equal depths
+    may land in either order) and (b) the compositor's transmittance prefix is
+    an MXU log-space matmul (identical formula, different FP association).
+    """
+    from garmentdreamer_tpu.splat.pallas_composite import composite_tiles_pallas
+
+    if height % TILE or width % TILE:
+        raise ValueError(f"height/width must be multiples of {TILE}")
+    tiles_x = width // TILE
+    tiles_y = height // TILE
+    n_tiles = tiles_x * tiles_y
+
+    tile_flat, payloads, n_dropped = _expand_operands(
+        proj, height, width, max_tiles_per_gaussian,
+        big_budget=big_budget, big_tiles=big_tiles,
+    )
+    depths_sg = jax.lax.stop_gradient(payloads[9])
+
+    if payload_dtype == "bf16":
+        # halve sort + DMA bytes: means go tile-relative (sub-pixel precision
+        # survives bf16's 8 mantissa bits only near the origin), everything
+        # else is plain bf16 (~0.4% relative error)
+        mx_rel = payloads[0] - (tile_flat % tiles_x).astype(jnp.float32) * TILE
+        my_rel = payloads[1] - (tile_flat // tiles_x).astype(jnp.float32) * TILE
+        payloads = tuple(
+            p.astype(jnp.bfloat16) for p in (mx_rel, my_rel, *payloads[2:])
+        )
+    elif payload_dtype != "f32":
+        raise ValueError(payload_dtype)
+
+    # pack (tile, depth) into ONE u32 key: tile in the top bits, the depth's
+    # top mantissa/exponent bits below (positive f32 bit patterns are
+    # monotone as integers). One-operand-key sorts move payload rows far
+    # cheaper than multi-key sorts on TPU.
+    tile_bits = int(n_tiles + 1).bit_length()
+    depth_bits_n = 32 - tile_bits
+    dbits = jax.lax.bitcast_convert_type(depths_sg, jnp.int32)
+    dbits = jnp.maximum(dbits, 0)  # culled entries may carry junk; clamp
+    key = (tile_flat.astype(jnp.uint32) << depth_bits_n) | (
+        (dbits >> (31 - depth_bits_n)).astype(jnp.uint32)
+    )
+    sorted_ops = jax.lax.sort((key, *payloads), num_keys=1, is_stable=False)
+    tile_sorted = (sorted_ops[0] >> depth_bits_n).astype(jnp.int32)
+    inst_rows = jnp.stack(sorted_ops[1:], axis=0)  # (10, L)
+    starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    out = composite_tiles_pallas(
+        starts, inst_rows, bg, n_tiles, tiles_x, K=max_per_tile
+    )  # (T, 5, 256)
+
+    x = out.reshape(tiles_y, tiles_x, 5, TILE, TILE)
+    x = jnp.transpose(x, (0, 3, 1, 4, 2)).reshape(height, width, 5)
+    return x[..., 0:3], x[..., 3], x[..., 4], n_dropped
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4, 5, 6, 7, 8))
+def rasterize_hybrid(
+    proj: Projected,
+    height: int,
+    width: int,
+    bg: jnp.ndarray,
+    max_tiles_per_gaussian: int = 16,
+    max_per_tile: int = 256,
+    big_budget: int = 0,
+    big_tiles: int = 64,
+    payload_dtype: str = "f32",
+):
+    """Pallas forward, XLA-tile-path backward (the reference's fwd/bwd kernel
+    pair, forward.cu:261-381 / backward.cu:416-598, as one differentiable op).
+    """
+    return rasterize_tiled_fast(
+        proj, height, width, bg,
+        max_tiles_per_gaussian=max_tiles_per_gaussian, max_per_tile=max_per_tile,
+        big_budget=big_budget, big_tiles=big_tiles, payload_dtype=payload_dtype,
+    )
+
+
+def _hybrid_fwd(proj, height, width, bg, max_tiles_per_gaussian, max_per_tile,
+                big_budget, big_tiles, payload_dtype):
+    out = rasterize_tiled_fast(
+        proj, height, width, bg,
+        max_tiles_per_gaussian=max_tiles_per_gaussian, max_per_tile=max_per_tile,
+        big_budget=big_budget, big_tiles=big_tiles, payload_dtype=payload_dtype,
+    )
+    return out, (proj, bg)
+
+
+def _hybrid_bwd(height, width, max_tiles_per_gaussian, max_per_tile,
+                big_budget, big_tiles, payload_dtype, res, ct):
+    proj, bg = res
+    ct_color, ct_alpha, ct_depth, _ = ct  # n_dropped is int: no cotangent
+
+    def f(p, b):
+        c, a, d, _nd = rasterize_tiled(
+            p, height, width, b,
+            max_tiles_per_gaussian=max_tiles_per_gaussian, max_per_tile=max_per_tile,
+            big_budget=big_budget, big_tiles=big_tiles,
+        )
+        return c, a, d
+
+    _, vjp = jax.vjp(f, proj, bg)
+    dproj, dbg = vjp((ct_color, ct_alpha, ct_depth))
+    return dproj, dbg
+
+
+rasterize_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)

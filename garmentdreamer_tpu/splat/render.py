@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from garmentdreamer_tpu.splat.project import Projected, project_gaussians
-from garmentdreamer_tpu.splat.rasterize import rasterize_tiled
+from garmentdreamer_tpu.splat.rasterize import rasterize_hybrid, rasterize_tiled
 from garmentdreamer_tpu.splat.state import GaussianState
 
 __all__ = ["render_view", "render_batch", "CameraArrays"]
@@ -46,6 +46,10 @@ def render_view(
     scaling_modifier: float = 1.0,
     max_tiles_per_gaussian: int = 32,
     max_per_tile: int = 512,
+    fast: bool = False,
+    big_budget: int = 0,
+    big_tiles: int = 64,
+    payload_dtype: str = "f32",
 ) -> Dict[str, jnp.ndarray]:
     """Render one view.
 
@@ -53,6 +57,12 @@ def render_view(
     pass zeros and take ``jax.grad`` w.r.t. it to recover dL/d(mean2D) for
     densification stats (the reference's retain_grad screenspace_points,
     gaussian_renderer/__init__.py:25-33).
+
+    ``fast=True`` routes through :func:`rasterize_hybrid`: the Pallas tile
+    compositor on the forward pass (the hot CUDA kernel's analog), the XLA
+    tile path for gradients. Requires ``max_per_tile`` to be a multiple of
+    128. Use for render_ring/bench/eval and any loop that tolerates depth-tie
+    reordering (see rasterize_tiled_fast docstring).
     """
     world_view, full_proj, camera_center, tanfov = _camera_tuple(cam)
     proj = project_gaussians(
@@ -74,14 +84,22 @@ def render_view(
     if screen_offset is not None:
         proj = proj._replace(means2d=proj.means2d + screen_offset)
 
-    color, alpha, depth, n_dropped = rasterize_tiled(
-        proj,
-        height,
-        width,
-        bg,
-        max_tiles_per_gaussian=max_tiles_per_gaussian,
-        max_per_tile=max_per_tile,
-    )
+    if fast:
+        color, alpha, depth, n_dropped = rasterize_hybrid(
+            proj, height, width, bg, max_tiles_per_gaussian, max_per_tile,
+            big_budget, big_tiles, payload_dtype,
+        )
+    else:
+        color, alpha, depth, n_dropped = rasterize_tiled(
+            proj,
+            height,
+            width,
+            bg,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_per_tile=max_per_tile,
+            big_budget=big_budget,
+            big_tiles=big_tiles,
+        )
     return {
         "render": color,  # (H, W, 3)
         "alpha": alpha,  # (H, W)

@@ -181,6 +181,9 @@ class GaussianDreamerSystem:
                     "loss_opaque": loss_opaque,
                     "grad_norm": g_out["grad_norm"],
                     "radii": out["radii"],
+                    # silent-truncation canary (VERDICT r1 #6): instances lost
+                    # to the per-gaussian tile cap, summed over the view batch
+                    "n_dropped": jnp.sum(out["n_dropped"]),
                 }
                 return loss, aux
 
@@ -294,6 +297,15 @@ class GaussianDreamerSystem:
             )
             st = st.replace(params=params, stats=stats)
             st, opt_state, _ = self.maybe_densify(step, st, opt_state, den_rng)
+            if log_every and step % log_every == 0:
+                nd = int(aux.get("n_dropped", 0))
+                print(
+                    f"[gaussiandreamer] step {step}: loss={float(aux['loss']):.4f} "
+                    f"sds={float(aux['loss_sds']):.4f} "
+                    f"grad_norm={float(aux['grad_norm']):.3f} n_dropped={nd}"
+                    + (" <- raise max_tiles_per_gaussian/big_budget" if nd else ""),
+                    flush=True,
+                )
             if callback is not None:
                 callback(step, st, aux)
             if gs_check_dir is not None and (

@@ -1,0 +1,122 @@
+"""Fast forward path: two-class expansion exactness, packed-key Pallas
+forward parity (interpret mode), hybrid custom_vjp gradient identity, and
+bf16 payload accuracy bounds."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from garmentdreamer_tpu.core import cameras as cam
+from garmentdreamer_tpu.splat import state as state_mod
+from garmentdreamer_tpu.splat.project import project_gaussians
+from garmentdreamer_tpu.splat.rasterize import (
+    rasterize_hybrid,
+    rasterize_tiled,
+    rasterize_tiled_fast,
+)
+
+
+def _proj(n=350, H=64, W=64, seed=0, inflate=0):
+    rs = np.random.RandomState(seed)
+    pts = rs.randn(n, 3).astype(np.float32) * 0.4
+    cols = rs.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    st = state_mod.create_from_pcd(pts, cols, capacity=512)
+    if inflate:
+        sc = np.array(st.params.scaling)
+        sc[:inflate] += 2.0
+        st = st.replace(params=st.params.replace(scaling=jnp.asarray(sc)))
+    c = cam.gs_camera_from_spherical(15.0, 30.0, 2.5, float(np.deg2rad(60.0)), H, W)
+    return project_gaussians(
+        xyz=st.params.xyz, scaling=st.get_scaling(), rotation_q=st.params.rotation,
+        opacity=st.get_opacity(), shs=st.get_features(), sh_degree=0,
+        world_view=jnp.asarray(c.world_view), full_proj=jnp.asarray(c.full_proj),
+        camera_center=jnp.asarray(c.camera_center),
+        tanfovx=float(c.tanfovx), tanfovy=float(c.tanfovy), height=H, width=W,
+    ), H, W
+
+
+BG = jnp.ones(3, jnp.float32)
+
+
+def test_two_class_expansion_matches_single_class():
+    proj, H, W = _proj(inflate=20)
+    c0, a0, d0, nd0 = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=64,
+                                      max_per_tile=512)
+    c1, a1, d1, nd1 = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=4,
+                                      max_per_tile=512, big_budget=512, big_tiles=64)
+    assert int(nd0) == 0 and int(nd1) == 0
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def test_two_class_budget_overflow_is_counted():
+    proj, H, W = _proj(inflate=20)
+    _, _, _, nd = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=4,
+                                  max_per_tile=512, big_budget=4, big_tiles=64)
+    assert int(nd) > 0
+
+
+def test_two_class_gradients_match():
+    proj, H, W = _proj(inflate=20)
+
+    def loss(p, bb, R):
+        cc, aa, _, _ = rasterize_tiled(p, H, W, BG, max_tiles_per_gaussian=R,
+                                       max_per_tile=512, big_budget=bb, big_tiles=64)
+        return (cc * 0.3).sum() + (aa * 0.1).sum()
+
+    g0 = jax.grad(lambda p: loss(p, 0, 64), allow_int=True)(proj)
+    g1 = jax.grad(lambda p: loss(p, 512, 4), allow_int=True)(proj)
+    for name in ("means2d", "conics", "colors", "opacities"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g0, name)), np.asarray(getattr(g1, name))
+        )
+
+
+def test_fast_forward_matches_xla_path_interpret():
+    proj, H, W = _proj()
+    cref, aref, dref, _ = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
+                                          max_per_tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        cf, af, df, _ = rasterize_tiled_fast(proj, H, W, BG,
+                                             max_tiles_per_gaussian=8, max_per_tile=128)
+    assert float(jnp.abs(cf - cref).max()) < 1e-5
+    assert float(jnp.abs(af - aref).max()) < 1e-5
+    assert float(jnp.abs(df - dref).max()) < 1e-5
+
+
+def test_fast_forward_bf16_payloads_close():
+    proj, H, W = _proj()
+    cref, aref, _, _ = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
+                                       max_per_tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        cf, af, _, _ = rasterize_tiled_fast(
+            proj, H, W, BG, max_tiles_per_gaussian=8, max_per_tile=128,
+            payload_dtype="bf16",
+        )
+    # bf16 payloads: ~0.4% relative error budget (below 8-bit PNG steps)
+    assert float(jnp.abs(cf - cref).max()) < 2e-2
+    assert float(jnp.abs(af - aref).max()) < 2e-2
+
+
+def test_hybrid_gradients_are_xla_gradients():
+    proj, H, W = _proj()
+
+    def loss_ref(p):
+        cc, aa, dd, _ = rasterize_tiled(p, H, W, BG, max_tiles_per_gaussian=8,
+                                        max_per_tile=128)
+        return (cc * 0.3).sum() + (aa * 0.1).sum() + (dd * 0.01).sum()
+
+    def loss_hyb(p):
+        cc, aa, dd, _ = rasterize_hybrid(p, H, W, BG, 8, 128, 0, 64, "f32")
+        return (cc * 0.3).sum() + (aa * 0.1).sum() + (dd * 0.01).sum()
+
+    gref = jax.grad(loss_ref, allow_int=True)(proj)
+    with pltpu.force_tpu_interpret_mode():
+        ghyb = jax.grad(loss_hyb, allow_int=True)(proj)
+    for name in ("means2d", "conics", "colors", "opacities", "depths"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(gref, name)), np.asarray(getattr(ghyb, name))
+        )
