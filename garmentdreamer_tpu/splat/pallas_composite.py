@@ -38,8 +38,17 @@ TPB = 8  # tiles per grid program
 __all__ = ["composite_tiles_pallas", "TPB"]
 
 
+def _unpack2(block_u32):
+    """(R, W) u32 block -> (hi, lo) f32 blocks: the bf16 pairs packed by
+    rasterize._pack2 ((bf16(a) << 16) | bf16(b)). 2D because Mosaic bitcast
+    requires rank >= 2."""
+    hi = pltpu.bitcast((block_u32 >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = pltpu.bitcast((block_u32 & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
 def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
-            max_off, tpb, relative_means):
+            max_off, tpb, relative_means, packed):
     blk = pl.program_id(0)
     t_base = blk * tpb
 
@@ -71,15 +80,14 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
             get_dma((i + 1) % 2, t + 1).start()
 
         get_dma(slot, t).wait()
-        rows = scratch[slot].astype(jnp.float32)  # (16, W); rows 10..15 pad
         s = starts_ref[t]
         e = starts_ref[t + 1]
         off = off_of(t)
 
         ty = t // tiles_x
         tx = t % tiles_x
-        if relative_means:
-            # bf16 payload mode: means are stored tile-relative, so pixel
+        if relative_means or packed:
+            # bf16 payload modes: means are stored tile-relative, so pixel
             # coordinates are tile-local too (keeps bf16 sub-pixel precision)
             px = (lin % TILE).astype(jnp.float32)  # (1, PIX)
             py = (lin // TILE).astype(jnp.float32)
@@ -92,12 +100,28 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
         e_cap = jnp.minimum(e, s + (W - ALIGN))
         in_range = ((idx >= s) & (idx < e_cap)).astype(jnp.float32)  # (W, 1)
 
-        mx = rows[0, :][:, None]  # (W, 1)
-        my = rows[1, :][:, None]
-        ca = rows[2, :][:, None]
-        cb = rows[3, :][:, None]
-        cc = rows[4, :][:, None]
-        op = rows[8, :][:, None] * in_range
+        if packed:
+            raw = scratch[slot]  # (8, W) u32; rows 5..7 pad
+            hi, lo = _unpack2(raw)  # (8, W) f32 each
+            mx_v, my_v = hi[0, :], lo[0, :]
+            ca_v, cb_v = hi[1, :], lo[1, :]
+            cc_v, op_v = hi[2, :], lo[2, :]
+            r_v, g_v = hi[3, :], lo[3, :]
+            b_v, dp_v = hi[4, :], lo[4, :]
+            rgb_rows = jnp.stack([r_v, g_v, b_v], axis=0)  # (3, W)
+        else:
+            rows = scratch[slot].astype(jnp.float32)  # (16, W); rows 10+ pad
+            mx_v, my_v = rows[0, :], rows[1, :]
+            ca_v, cb_v, cc_v = rows[2, :], rows[3, :], rows[4, :]
+            op_v, dp_v = rows[8, :], rows[9, :]
+            rgb_rows = rows[5:8, :]
+
+        mx = mx_v[:, None]  # (W, 1)
+        my = my_v[:, None]
+        ca = ca_v[:, None]
+        cb = cb_v[:, None]
+        cc = cc_v[:, None]
+        op = op_v[:, None] * in_range
 
         dx = px - mx  # (W, PIX)
         dy = py - my
@@ -113,8 +137,8 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
         contrib = (t_after >= T_EPS).astype(jnp.float32)  # CUDA early-exit analog
         w = alpha * t_prefix * contrib  # (W, PIX)
 
-        rgb = jnp.dot(rows[5:8, :], w, preferred_element_type=jnp.float32)
-        acc_d = jnp.sum(w * rows[9, :][:, None], axis=0, keepdims=True)
+        rgb = jnp.dot(rgb_rows, w, preferred_element_type=jnp.float32)
+        acc_d = jnp.sum(w * dp_v[:, None], axis=0, keepdims=True)
         t_final = jnp.exp(jnp.sum(logs * contrib, axis=0, keepdims=True))
 
         out_ref[i, 0:3, :] = rgb + bg[:, None] * t_final
@@ -137,40 +161,43 @@ def composite_tiles_pallas(
     """-> (T, 5, 256): per-tile [r, g, b, alpha, depth] x pixels (row-major
     16x16, x fastest).
 
-    ``inst_attrs_t`` may be float32 (absolute pixel means) or bfloat16
-    (means stored tile-relative; halves sort+DMA bytes, ~0.4% value error).
+    ``inst_attrs_t`` may be float32 (10 rows, absolute pixel means), bfloat16
+    (10 rows, means tile-relative; halves sort+DMA bytes, ~0.4% value error),
+    or uint32 (5 rows of packed bf16 pairs from rasterize._pack2 -- halves
+    the SORT-operand count on top).
     """
     assert K % ALIGN == 0, "K must be a multiple of 128"
     tpb = next(d for d in (TPB, 4, 2, 1) if n_tiles % d == 0)
     W = K + ALIGN  # window width: K capacity + slack for the align-down shift
     dtype = inst_attrs_t.dtype
     relative_means = dtype == jnp.bfloat16
+    packed = dtype == jnp.uint32
+    n_rows = 8 if packed else 16  # Mosaic sublane alignment of the HBM slice
     L = inst_attrs_t.shape[1]
     # L and max_off must stay ALIGN-multiples for the divisibility hint
     pad_l = max(W - L, (-L) % ALIGN)
-    # pad rows 10 -> 16 for Mosaic sublane alignment of the HBM slice
     inst_attrs_t = jnp.pad(
-        inst_attrs_t, ((0, 16 - inst_attrs_t.shape[0]), (0, pad_l))
+        inst_attrs_t, ((0, n_rows - inst_attrs_t.shape[0]), (0, pad_l))
     )
     L = L + pad_l
     max_off = L - W
 
     kernel = functools.partial(
         _kernel, W=W, tiles_x=tiles_x, max_off=max_off, tpb=tpb,
-        relative_means=relative_means,
+        relative_means=relative_means, packed=packed,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tpb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # inst_attrs stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # inst_attrs stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
         out_specs=pl.BlockSpec(
             (tpb, 5, PIX), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, W), dtype),  # double-buffered windows
+            pltpu.VMEM((2, n_rows, W), dtype),  # double-buffered windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -178,5 +205,8 @@ def composite_tiles_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 5, PIX), jnp.float32),
+        # Mosaic only compiles for real TPUs; on the CPU backend (tests,
+        # virtual multi-device mesh) fall back to the interpreter
+        interpret=jax.default_backend() == "cpu",
     )(starts, inst_attrs_t, bg[None, :])
     return out

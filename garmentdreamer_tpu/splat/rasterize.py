@@ -35,7 +35,7 @@ capacity knobs are the only static arguments.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ __all__ = [
     "bin_gaussians",
     "rasterize_tiled",
     "rasterize_tiled_fast",
+    "rasterize_tiled_packed",
     "rasterize_hybrid",
     "TILE",
 ]
@@ -349,11 +350,178 @@ def _expand_operands(
     return tile_flat, payloads, n_dropped
 
 
+def _pack2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 columns -> one u32 column carrying (bf16(a) << 16) | bf16(b).
+
+    TPU sorts move each operand array at every merge stage, so operand COUNT
+    dominates payload-sort cost (measured: 10xbf16 @1.6M = 11.6 ms vs
+    5xu32-packed = 5.9 ms); packing halves the sort for the same bytes.
+    """
+    ah = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    bh = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return (ah.astype(jnp.uint32) << 16) | bh.astype(jnp.uint32)
+
+
+def _expand_classes(
+    proj: Projected,
+    height: int,
+    width: int,
+    classes: Tuple[Tuple[int, Optional[int]], ...],
+):
+    """Multi-class instance expansion -> (tile_flat (L,) i32, 10 f32 column
+    arrays (L,), n_dropped).
+
+    ``classes`` = ((R0, None), (R1, B1), ..., (Rk, Bk)) with ascending slot
+    counts R: class 0 holds every gaussian whose tile rect covers <= R0
+    tiles; class j holds the first Bj gaussians with R_{j-1} < count <= R_j
+    (count > R_last for the final class, capped at R_last slots). The CUDA
+    rasterizer sizes its instance buffer exactly via a device->host prefix
+    sum (rasterizer_impl.cu:278-286); XLA needs static shapes, and matching
+    slot capacity to the measured count distribution (~89% of splats touch
+    <= 4 tiles at 512^2) cuts sorted rows ~2.5x vs a single-class cap.
+
+    ``n_dropped`` counts instances lost to budget overflow or the final cap.
+    """
+    tiles_x = width // TILE
+    tiles_y = height // TILE
+    n_tiles = tiles_x * tiles_y
+    means2d = jax.lax.stop_gradient(proj.means2d)
+    C = means2d.shape[0]
+    assert C < (1 << 20), "index packing supports up to 2^20 gaussians"
+    visible = proj.radii > 0
+
+    x0, y0, x1, y1 = _tile_rect(
+        means2d, jnp.where(visible, proj.radii, 0), tiles_x, tiles_y
+    )
+    w = x1 - x0
+    count = jnp.where(visible, w * (y1 - y0), 0)
+    opac_v = jnp.where(visible, proj.opacities, 0.0)
+    cols = (
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+        proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
+        opac_v, proj.depths,
+    )
+    idx = jnp.arange(C, dtype=jnp.int32)
+
+    tile_parts, col_parts = [], [[] for _ in cols]
+    n_dropped = jnp.int32(0)
+    prev_R = 0
+    for ci, (R, budget) in enumerate(classes):
+        last = ci == len(classes) - 1
+        if ci == 0:
+            member = count <= R
+            sel = idx
+            scount = jnp.where(member, count, 0)
+            sx0, sy0, sw = x0, y0, w
+            svalid_gauss = member
+        else:
+            member = count > prev_R
+            if not last:
+                member = member & (count <= R)
+            ckey = jnp.where(member, idx, idx | (1 << 20))
+            ckey_sorted = jax.lax.sort(ckey)[:budget]
+            real = ckey_sorted < (1 << 20)
+            sel = jnp.where(real, ckey_sorted & ((1 << 20) - 1), 0)
+            scount = jnp.where(real, count[sel], 0)
+            sx0, sy0, sw = x0[sel], y0[sel], w[sel]
+            svalid_gauss = real
+            # members beyond the budget lose all their instances
+            over = (jnp.cumsum(member) > budget) & member
+            n_dropped = n_dropped + jnp.sum(jnp.where(over, count, 0))
+        if last:
+            n_dropped = n_dropped + jnp.sum(jnp.maximum(scount - R, 0))
+        tiles_k = _slot_tiles(sx0, sy0, sw, tiles_x, R)
+        slot = jnp.arange(R, dtype=jnp.int32)
+        valid = (slot[None, :] < jnp.minimum(scount, R)[:, None]) & svalid_gauss[:, None]
+        tile_parts.append(jnp.where(valid, tiles_k, n_tiles).reshape(-1))
+        for j, col in enumerate(cols):
+            c = col if ci == 0 else col[sel]
+            if j == 8:  # opacity doubles as the validity mask
+                col_parts[j].append(jnp.where(valid, c[:, None], 0.0).reshape(-1))
+            else:
+                col_parts[j].append(
+                    jnp.broadcast_to(c[:, None], valid.shape).reshape(-1)
+                )
+        prev_R = R
+
+    tile_flat = jnp.concatenate(tile_parts) if len(tile_parts) > 1 else tile_parts[0]
+    out_cols = tuple(
+        jnp.concatenate(p) if len(p) > 1 else p[0] for p in col_parts
+    )
+    return tile_flat, out_cols, n_dropped
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "classes", "max_per_tile"),
+)
+def rasterize_tiled_packed(
+    proj: Projected,
+    height: int,
+    width: int,
+    bg: jnp.ndarray,
+    classes: Tuple[Tuple[int, Optional[int]], ...] = ((4, None), (16, 16384), (64, 1024)),
+    max_per_tile: int = 256,
+):
+    """Fastest forward: multi-class expansion (rows matched to the splat-size
+    distribution) + bf16-pair-packed u32 payloads (5 operands instead of 10)
+    + the Pallas tile compositor. The CUDA FORWARD pipeline
+    (rasterizer_impl.cu:197-339) at TPU-native design points.
+
+    Numerics vs :func:`rasterize_tiled`: bf16 payload rounding (~0.4% value
+    error; means stored tile-relative keep sub-pixel precision) and depth-tie
+    reordering on the packed key's truncated depth bits.
+    """
+    from garmentdreamer_tpu.splat.pallas_composite import composite_tiles_pallas
+
+    if height % TILE or width % TILE:
+        raise ValueError(f"height/width must be multiples of {TILE}")
+    tiles_x = width // TILE
+    tiles_y = height // TILE
+    n_tiles = tiles_x * tiles_y
+
+    tile_flat, cols, n_dropped = _expand_classes(proj, height, width, classes)
+    depths_sg = jax.lax.stop_gradient(cols[9])
+
+    # tile-relative means: bf16's 8 mantissa bits keep sub-pixel precision
+    # only near the origin
+    mx_rel = cols[0] - (tile_flat % tiles_x).astype(jnp.float32) * TILE
+    my_rel = cols[1] - (tile_flat // tiles_x).astype(jnp.float32) * TILE
+    packed = (
+        _pack2(mx_rel, my_rel),
+        _pack2(cols[2], cols[3]),
+        _pack2(cols[4], cols[8]),
+        _pack2(cols[5], cols[6]),
+        _pack2(cols[7], cols[9]),
+    )
+
+    tile_bits = int(n_tiles + 1).bit_length()
+    depth_bits_n = 32 - tile_bits
+    dbits = jnp.maximum(jax.lax.bitcast_convert_type(depths_sg, jnp.int32), 0)
+    key = (tile_flat.astype(jnp.uint32) << depth_bits_n) | (
+        (dbits >> (31 - depth_bits_n)).astype(jnp.uint32)
+    )
+    sorted_ops = jax.lax.sort((key, *packed), num_keys=1, is_stable=False)
+    tile_sorted = (sorted_ops[0] >> depth_bits_n).astype(jnp.int32)
+    inst_rows = jnp.stack(sorted_ops[1:], axis=0)  # (5, L) u32
+    starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    out = composite_tiles_pallas(
+        starts, inst_rows, bg, n_tiles, tiles_x, K=max_per_tile
+    )
+    x = out.reshape(tiles_y, tiles_x, 5, TILE, TILE)
+    x = jnp.transpose(x, (0, 3, 1, 4, 2)).reshape(height, width, 5)
+    return x[..., 0:3], x[..., 3], x[..., 4], n_dropped
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "height", "width", "max_tiles_per_gaussian", "max_per_tile",
-        "big_budget", "big_tiles", "payload_dtype",
+        "big_budget", "big_tiles", "payload_dtype", "classes",
     ),
 )
 def rasterize_tiled_fast(
@@ -366,6 +534,7 @@ def rasterize_tiled_fast(
     big_budget: int = 0,
     big_tiles: int = 64,
     payload_dtype: str = "f32",
+    classes: Optional[Tuple[Tuple[int, Optional[int]], ...]] = None,
 ):
     """Inference-speed forward: packed u32 (tile|depth) key sort + the Pallas
     tile compositor (the CUDA FORWARD::render analog, forward.cu:261-381).
@@ -376,6 +545,13 @@ def rasterize_tiled_fast(
     an MXU log-space matmul (identical formula, different FP association).
     """
     from garmentdreamer_tpu.splat.pallas_composite import composite_tiles_pallas
+
+    if payload_dtype == "packed":
+        return rasterize_tiled_packed(
+            proj, height, width, bg,
+            classes=classes or ((4, None), (16, 16384), (64, 1024)),
+            max_per_tile=max_per_tile,
+        )
 
     if height % TILE or width % TILE:
         raise ValueError(f"height/width must be multiples of {TILE}")
@@ -428,7 +604,7 @@ def rasterize_tiled_fast(
     return x[..., 0:3], x[..., 3], x[..., 4], n_dropped
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 4, 5, 6, 7, 8, 9))
 def rasterize_hybrid(
     proj: Projected,
     height: int,
@@ -439,6 +615,7 @@ def rasterize_hybrid(
     big_budget: int = 0,
     big_tiles: int = 64,
     payload_dtype: str = "f32",
+    classes: Optional[Tuple[Tuple[int, Optional[int]], ...]] = None,
 ):
     """Pallas forward, XLA-tile-path backward (the reference's fwd/bwd kernel
     pair, forward.cu:261-381 / backward.cu:416-598, as one differentiable op).
@@ -447,21 +624,23 @@ def rasterize_hybrid(
         proj, height, width, bg,
         max_tiles_per_gaussian=max_tiles_per_gaussian, max_per_tile=max_per_tile,
         big_budget=big_budget, big_tiles=big_tiles, payload_dtype=payload_dtype,
+        classes=classes,
     )
 
 
 def _hybrid_fwd(proj, height, width, bg, max_tiles_per_gaussian, max_per_tile,
-                big_budget, big_tiles, payload_dtype):
+                big_budget, big_tiles, payload_dtype, classes):
     out = rasterize_tiled_fast(
         proj, height, width, bg,
         max_tiles_per_gaussian=max_tiles_per_gaussian, max_per_tile=max_per_tile,
         big_budget=big_budget, big_tiles=big_tiles, payload_dtype=payload_dtype,
+        classes=classes,
     )
     return out, (proj, bg)
 
 
 def _hybrid_bwd(height, width, max_tiles_per_gaussian, max_per_tile,
-                big_budget, big_tiles, payload_dtype, res, ct):
+                big_budget, big_tiles, payload_dtype, classes, res, ct):
     proj, bg = res
     ct_color, ct_alpha, ct_depth, _ = ct  # n_dropped is int: no cotangent
 

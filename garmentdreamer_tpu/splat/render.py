@@ -50,6 +50,7 @@ def render_view(
     big_budget: int = 0,
     big_tiles: int = 64,
     payload_dtype: str = "f32",
+    classes: Optional[Tuple[Tuple[int, Optional[int]], ...]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render one view.
 
@@ -87,7 +88,7 @@ def render_view(
     if fast:
         color, alpha, depth, n_dropped = rasterize_hybrid(
             proj, height, width, bg, max_tiles_per_gaussian, max_per_tile,
-            big_budget, big_tiles, payload_dtype,
+            big_budget, big_tiles, payload_dtype, classes,
         )
     else:
         color, alpha, depth, n_dropped = rasterize_tiled(

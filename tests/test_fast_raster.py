@@ -101,6 +101,48 @@ def test_fast_forward_bf16_payloads_close():
     assert float(jnp.abs(af - aref).max()) < 2e-2
 
 
+def test_packed_forward_close_to_xla_path():
+    from garmentdreamer_tpu.splat.rasterize import rasterize_tiled_packed
+
+    proj, H, W = _proj(inflate=20)
+    cref, aref, dref, nd0 = rasterize_tiled(proj, H, W, BG,
+                                            max_tiles_per_gaussian=64,
+                                            max_per_tile=128)
+    with pltpu.force_tpu_interpret_mode():
+        cp, ap, dp, nd = rasterize_tiled_packed(
+            proj, H, W, BG, classes=((4, None), (16, 512), (64, 64)),
+            max_per_tile=128,
+        )
+    assert int(nd0) == 0 and int(nd) == 0
+    # packed bf16 pairs: same ~0.4% budget as the bf16 payload mode
+    assert float(jnp.abs(cp - cref).max()) < 2e-2
+    assert float(jnp.abs(ap - aref).max()) < 2e-2
+
+
+def test_packed_class_budget_overflow_counted():
+    from garmentdreamer_tpu.splat.rasterize import rasterize_tiled_packed
+
+    proj, H, W = _proj(inflate=20)
+    with pltpu.force_tpu_interpret_mode():
+        _, _, _, nd = rasterize_tiled_packed(
+            proj, H, W, BG, classes=((4, None), (16, 2), (64, 1)),
+            max_per_tile=128,
+        )
+    assert int(nd) > 0
+
+
+def test_packed_final_class_cap_counts_drops():
+    from garmentdreamer_tpu.splat.rasterize import rasterize_tiled_packed
+
+    proj, H, W = _proj(inflate=20)
+    with pltpu.force_tpu_interpret_mode():
+        _, _, _, nd = rasterize_tiled_packed(
+            proj, H, W, BG, classes=((4, None), (8, 128)), max_per_tile=128,
+        )
+    # inflated splats cover more than 8 tiles -> final-class cap must fire
+    assert int(nd) > 0
+
+
 def test_hybrid_gradients_are_xla_gradients():
     proj, H, W = _proj()
 
