@@ -91,14 +91,23 @@ class SDSGuidance:
         grad_clip_val: Optional[jnp.ndarray] = None,
         rgb_as_latents: bool = False,
         neg_guidance_weights: Optional[jnp.ndarray] = None,  # (B, 2) => perp-neg
+        params: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, jnp.ndarray]:
         """With ``neg_guidance_weights`` given, ``text_embeddings`` must be the
         (4B, L, D) perp-neg layout from
         :func:`garmentdreamer_tpu.guidance.prompt.get_text_embeddings_perp_neg`
         and the 4-way-batch perp-neg guidance is used (reference:
         stable_diffusion_guidance.py:185-232); otherwise the plain (2B, L, D)
-        cond ++ uncond CFG path runs."""
+        cond ++ uncond CFG path runs.
+
+        ``params`` ({"unet": ..., "vae": ...}) overrides the stored weights --
+        REQUIRED at SD-2.1 scale so the ~3.5 GB of parameters enter the jitted
+        train step as arguments instead of captured constants (closure capture
+        bakes them into the HLO: slow lowering, and the remote-compile service
+        rejects multi-GB programs)."""
         cfg = self.cfg
+        unet_params = self.unet_params if params is None else params["unet"]
+        vae_params = self.vae_params if params is None else params["vae"]
         B = rgb.shape[0]
         rng_vae, rng_t, rng_noise = jax.random.split(rng, 3)
 
@@ -110,7 +119,7 @@ class SDSGuidance:
             rgb512 = jax.image.resize(
                 rgb, (B, cfg.image_size, cfg.image_size, 3), "bilinear"
             )
-            latents = self.vae_encode(self.vae_params, rgb512 * 2.0 - 1.0, rng_vae)
+            latents = self.vae_encode(vae_params, rgb512 * 2.0 - 1.0, rng_vae)
 
         min_step, max_step = self.min_max_step(
             cfg.min_step_percent if min_step_percent is None else min_step_percent,
@@ -126,7 +135,7 @@ class SDSGuidance:
             # (reference: stable_diffusion_guidance.py:196-227)
             latent_in = jnp.concatenate([latents_noisy] * 4, axis=0)
             t_in = jnp.concatenate([t] * 4, axis=0)
-            eps_pred = self.unet_apply(self.unet_params, latent_in, t_in, text_embeddings)
+            eps_pred = self.unet_apply(unet_params, latent_in, t_in, text_embeddings)
             eps_text = eps_pred[:B]
             eps_uncond = eps_pred[B : 2 * B]
             eps_neg = eps_pred[2 * B :]  # (2B,...) interleaved [v0n0, v0n1, v1n0, ...]
@@ -142,7 +151,7 @@ class SDSGuidance:
             # one batched UNet call for cond+uncond over all views
             latent_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
             t_in = jnp.concatenate([t, t], axis=0)
-            eps_pred = self.unet_apply(self.unet_params, latent_in, t_in, text_embeddings)
+            eps_pred = self.unet_apply(unet_params, latent_in, t_in, text_embeddings)
             eps_cond, eps_uncond = jnp.split(eps_pred, 2, axis=0)
             eps_hat = eps_cond + cfg.guidance_scale * (eps_cond - eps_uncond)
 

@@ -89,12 +89,14 @@ class VSDGuidance:
         self.lora_apply = lora_apply
         self.camera_emb_apply = camera_emb_apply
 
-    def encode_images(self, rgb01: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    def encode_images(self, rgb01: jnp.ndarray, rng: jax.Array,
+                      vae_params: Any = None) -> jnp.ndarray:
         B = rgb01.shape[0]
         rgb = jax.image.resize(
             rgb01, (B, self.cfg.image_size, self.cfg.image_size, 3), "bilinear"
         )
-        return self.vae_encode(self.vae_params, rgb * 2.0 - 1.0, rng)
+        vp = self.vae_params if vae_params is None else vae_params
+        return self.vae_encode(vp, rgb * 2.0 - 1.0, rng)
 
     def train_step(
         self,
@@ -105,13 +107,21 @@ class VSDGuidance:
         rng: jax.Array,
         t_max_override: Optional[int] = None,  # t5 anneal (trainer.py:208-211)
         shading: str = "albedo",
+        params: Optional[Dict[str, Any]] = None,
     ):
         """Returns (loss, latents). Differentiable w.r.t. the texture/geometry
         through ``rgb01`` -> VAE -> latents; the score difference is
-        stop-gradient (sd_vsd_utils.py:196-218)."""
+        stop-gradient (sd_vsd_utils.py:196-218).
+
+        ``params`` ({"unet":..., "vae":...}) overrides the stored frozen-SD
+        weights so they enter jit as arguments, not multi-GB captured
+        constants (same contract as SDSGuidance.__call__)."""
         cfg = self.cfg
+        unet_params = self.unet_params if params is None else params["unet"]
         rng_vae, rng_t, rng_noise = jax.random.split(rng, 3)
-        latents = self.encode_images(rgb01, rng_vae)
+        latents = self.encode_images(
+            rgb01, rng_vae, None if params is None else params["vae"]
+        )
         B = latents.shape[0]
 
         min_step = int(cfg.num_train_timesteps * cfg.min_step_percent)
@@ -129,7 +139,7 @@ class VSDGuidance:
         # pretrained SD eps, CFG
         lat_in = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
         t_in = jnp.concatenate([t, t], axis=0)
-        eps = self.unet_apply(self.unet_params, lat_in, t_in, text_embeddings)
+        eps = self.unet_apply(unet_params, lat_in, t_in, text_embeddings)
         eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
         eps_sd = eps_uncond + cfg.guidance_scale * (eps_cond - eps_uncond)
 

