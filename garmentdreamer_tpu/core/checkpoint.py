@@ -14,7 +14,12 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "load_module_weights",
+]
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 3):
@@ -81,3 +86,39 @@ def restore_checkpoint(ckpt_dir: str, target: Any, step: Optional[int] = None) -
     return jax.tree_util.tree_map(
         lambda o, t: t if (hasattr(t, "size") and t.size == 0) else o, out, target
     )
+
+
+def load_module_weights(
+    ckpt_dir: str,
+    target: Any,
+    module_name: Optional[str] = None,
+    ignore_modules: Optional[list] = None,
+    step: Optional[int] = None,
+) -> Any:
+    """Load only a submodule's weights from a checkpoint into ``target``.
+
+    The reference's ``load_module_weights`` (threestudio/utils/misc.py:32-62)
+    filters a flat torch state dict by key prefix; the pytree analog selects
+    by the FIRST path segment: ``module_name='guidance'`` keeps only leaves
+    under ``tree['guidance']`` (restored into target's matching subtree),
+    while ``ignore_modules=['prompt']`` loads everything except those
+    subtrees, keeping target's values there. Exactly one of the two may be
+    set (misc.py:35-36 raises on both).
+    """
+    import jax
+
+    if module_name is not None and ignore_modules is not None:
+        raise ValueError("module_name and ignore_modules cannot be both set")
+    restored = restore_checkpoint(ckpt_dir, target, step=step)
+    if module_name is None and ignore_modules is None:
+        return restored
+    if not isinstance(target, dict):
+        raise TypeError("module filtering requires a dict-rooted pytree")
+    out = dict(target)
+    if module_name is not None:
+        out[module_name] = restored[module_name]
+        return out
+    for k in restored:
+        if k not in ignore_modules:
+            out[k] = restored[k]
+    return out
