@@ -18,8 +18,12 @@ from garmentdreamer_tpu.guidance.prompt import (
     view_direction_index,
 )
 from garmentdreamer_tpu.guidance.sds import SDSConfig, SDSGuidance
+from garmentdreamer_tpu.guidance.if2 import IF2Config, IF2Guidance, if2_unet_config
 
 __all__ = [
+    "IF2Config",
+    "IF2Guidance",
+    "if2_unet_config",
     "DiffusionSchedule",
     "make_schedule",
     "add_noise",

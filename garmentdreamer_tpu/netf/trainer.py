@@ -72,6 +72,7 @@ class NeTFConfig:
     max_tiles_per_tri: int = 32
     max_per_tile: int = 512
     seed: int = 3407
+    mode: str = "SD"  # ['SD', 'IF2'] (garment_netf_configs.yml:29)
     reconstruction_picked_views: Tuple[int, ...] = (
         111, 115, 120, 125, 129, 133, 138, 143,
         148, 152, 157, 162, 166, 170, 175, 180,
@@ -224,8 +225,12 @@ class NeTFTrainer:
         lora_opt = optax.adam(cfg.unet_lr)
         lora_opt_state = lora_opt.init(self.q_params)
 
+        # frozen SD weights enter jit as an argument (not multi-GB captured
+        # constants; see SDSGuidance.__call__ params contract)
+        sd_params = {"unet": guidance.unet_params, "vae": guidance.vae_params}
+
         @jax.jit
-        def vsd_step(params, pose, pose16, q_params, rng):
+        def vsd_step(params, pose, pose16, q_params, rng, sd_p):
             def loss_fn(p):
                 out = render_textured(
                     p, verts, faces, pose, proj, res, res, field,
@@ -233,7 +238,7 @@ class NeTFTrainer:
                     max_per_tile=cfg.max_per_tile,
                 )
                 loss, latents = guidance.train_step(
-                    q_params, out["image"][None], text, pose16, rng
+                    q_params, out["image"][None], text, pose16, rng, params=sd_p
                 )
                 return loss, latents
 
@@ -261,7 +266,7 @@ class NeTFTrainer:
 
             self.rng, r1, r2 = jax.random.split(self.rng, 3)
             grads, loss, latents = vsd_step(
-                self.tex_params, pose, pose16, self.q_params, r1
+                self.tex_params, pose, pose16, self.q_params, r1, sd_params
             )
             accum = jax.tree_util.tree_map(jnp.add, accum, grads)
             if step_i % cfg.batch_size_train == 0 or step_i == cfg.iters:
@@ -277,6 +282,71 @@ class NeTFTrainer:
                     self.q_params, lora_opt_state, _ = lora_step(
                         self.q_params, lora_opt_state, latents, pose16, r3
                     )
+
+        self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))
+
+    # ---------------- IF2 refinement (mode: "IF2") -------------------------
+    def train_if2(self, guidance, text_emb, uncond_emb) -> None:
+        """Refine the texture with pixel-space IF-II SDS instead of VSD
+        (reference: garment_netf_configs.yml mode "IF2" ->
+        netf/guidance/if2_utils.py; the reference loads this guidance but its
+        training branch only supports vds -- here the mode actually runs).
+
+        The super-resolution conditioning image (if2_utils.py's ``ori_rgb``)
+        is the render under the FROZEN pre-refinement texture at the same
+        pose; no LoRA updates (IF2 is plain SDS).
+        """
+        cfg = self.cfg
+        proj = jnp.asarray(perspective(cfg.fovy))
+        field = self.field
+        verts, faces = self.verts, self.faces
+        res = cfg.render_resolution
+        opt = self.tex_opt
+        init_params = jax.tree_util.tree_map(lambda x: x, self.tex_params)
+
+        @jax.jit
+        def if2_step(params, pose, azim, rng):
+            ori = render_textured(
+                init_params, verts, faces, pose, proj, res, res, field,
+                max_tiles_per_tri=cfg.max_tiles_per_tri,
+                max_per_tile=cfg.max_per_tile,
+            )["image"]
+
+            def loss_fn(p):
+                out = render_textured(
+                    p, verts, faces, pose, proj, res, res, field,
+                    max_tiles_per_tri=cfg.max_tiles_per_tri,
+                    max_per_tile=cfg.max_per_tile,
+                )
+                from garmentdreamer_tpu.guidance.if2 import direction_index
+
+                d = direction_index(azim)
+                g_out = guidance(
+                    out["image"][None], ori[None],
+                    text_emb[d][None], uncond_emb[None], rng,
+                )
+                return g_out["loss_sds"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return grads, loss
+
+        accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
+        for step_i in range(1, cfg.iters + 1):
+            ver = self.np_rng.randint(-65, 35)
+            hor = self.np_rng.randint(-180, 180)
+            radius = self.np_rng.uniform() * 4 - 3
+            pose = jnp.asarray(orbit_pose(ver, hor, cfg.radius + radius))
+            self.rng, r1 = jax.random.split(self.rng)
+            grads, loss = if2_step(
+                self.tex_params, pose, jnp.float32(hor), r1
+            )
+            accum = jax.tree_util.tree_map(jnp.add, accum, grads)
+            if step_i % cfg.batch_size_train == 0 or step_i == cfg.iters:
+                updates, self.tex_opt_state = self.tex_opt.update(
+                    accum, self.tex_opt_state
+                )
+                self.tex_params = optax.apply_updates(self.tex_params, updates)
+                accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
 
         self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))
 
