@@ -197,22 +197,45 @@ class LatentDiffusion:
         num_train_timesteps: int = 1000,
         lr: float = 1e-4,
         seed: int = 0,
+        num_categories: Optional[int] = None,
     ):
         self.latent_hw = latent_hw
+        self.num_categories = num_categories
         cfg = UNetConfig.garment_latent(cross_attention_dim=cond_dim)
+        if num_categories is not None:
+            # class-conditional variant (run_df_categoryconditioned.py:16-23):
+            # a learned class embedding entering via the time-embedding
+            # pathway, the mechanism behind diffusers' num_class_embeds
+            cfg = dataclasses.replace(cfg, extra_emb_dim=cfg.block_out_channels[0] * 4)
         self.unet = UNet2DCondition(cfg)
         self.schedule = make_schedule(num_train_timesteps)
         self.T = num_train_timesteps
         rng = jax.random.PRNGKey(seed)
-        self.params = self.unet.init(
+        unet_params = self.unet.init(
             rng,
             jnp.zeros((1, latent_hw[0], latent_hw[1], cfg.in_channels)),
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 77, cond_dim)),
+            jnp.zeros((1, cfg.extra_emb_dim)) if num_categories is not None else None,
         )
+        if num_categories is not None:
+            from .conditioning import category_embedding_table
+
+            table = category_embedding_table(
+                jax.random.PRNGKey(seed + 1), num_categories, cfg.extra_emb_dim
+            )
+            self.params = {"unet": unet_params, "class_emb": table}
+        else:
+            self.params = {"unet": unet_params}
         self.opt = optax.adam(lr)
         self.opt_state = self.opt.init(self.params)
         self._step = self._build_step()
+
+    def _apply_unet(self, params, z, t, cond, class_idx):
+        if self.num_categories is not None:
+            extra = params["class_emb"][class_idx]  # (B, D)
+            return self.unet.apply(params["unet"], z, t, cond, extra)
+        return self.unet.apply(params["unet"], z, t, cond)
 
     def zip(self, codes: jnp.ndarray) -> jnp.ndarray:
         B = codes.shape[0]
@@ -223,7 +246,7 @@ class LatentDiffusion:
 
     def _build_step(self):
         @jax.jit
-        def step(params, opt_state, z0, cond, rng):
+        def step(params, opt_state, z0, cond, class_idx, rng):
             rt, rn = jax.random.split(rng)
             B = z0.shape[0]
             t = jax.random.randint(rt, (B,), 0, self.T)
@@ -231,7 +254,7 @@ class LatentDiffusion:
             zt = add_noise(self.schedule, z0, noise, t)
 
             def loss_fn(p):
-                pred = self.unet.apply(p, zt, t, cond)
+                pred = self._apply_unet(p, zt, t, cond, class_idx)
                 return jnp.mean((pred - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -240,27 +263,42 @@ class LatentDiffusion:
 
         return step
 
-    def train_step(self, codes: jnp.ndarray, cond: jnp.ndarray, rng: jax.Array) -> float:
+    def train_step(
+        self,
+        codes: jnp.ndarray,
+        cond: jnp.ndarray,
+        rng: jax.Array,
+        class_idx: Optional[jnp.ndarray] = None,
+    ) -> float:
         z0 = self.zip(codes)
+        if class_idx is None:
+            class_idx = jnp.zeros((codes.shape[0],), jnp.int32)
         self.params, self.opt_state, loss = self._step(
-            self.params, self.opt_state, z0, cond, rng
+            self.params, self.opt_state, z0, cond, class_idx, rng
         )
         return float(loss)
 
     def sample(
-        self, n: int, cond: jnp.ndarray, rng: jax.Array, num_inference_steps: int = 100
+        self,
+        n: int,
+        cond: jnp.ndarray,
+        rng: jax.Array,
+        num_inference_steps: int = 100,
+        class_idx: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """DDIM sampling -> (n, latent_dim) codes (run_df evaluate :14-36)."""
         H, W = self.latent_hw
         z = jax.random.normal(rng, (n, H, W, 1))
         ts = jnp.linspace(self.T - 1, 0, num_inference_steps).astype(jnp.int32)
+        if class_idx is None:
+            class_idx = jnp.zeros((n,), jnp.int32)
 
         @jax.jit
         def body(z, i):
             t = ts[i]
             t_prev = jnp.where(i + 1 < num_inference_steps, ts[i + 1], -1)
-            eps = self.unet.apply(
-                self.params, z, jnp.full((n,), t), cond
+            eps = self._apply_unet(
+                self.params, z, jnp.full((n,), t), cond, class_idx
             )
             z = ddim_step(
                 self.schedule, z, eps,

@@ -94,6 +94,7 @@ class TestUDFData:
         assert covered.sum() > 500
 
 
+@pytest.mark.slow
 class TestEncDec:
     def test_train_steps_reduce_loss(self):
         cfg = EncDecConfig.tiny()
@@ -133,6 +134,7 @@ class TestMeshFromUDF:
         np.testing.assert_allclose(r.mean(), 0.6, atol=0.05)
 
 
+@pytest.mark.slow
 class TestLatentDiffusion:
     def test_train_and_sample(self):
         ld = LatentDiffusion(cond_dim=32, lr=1e-3, seed=0)
