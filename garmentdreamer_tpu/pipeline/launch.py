@@ -81,14 +81,29 @@ def generate_3dgs(
     system = GaussianDreamerSystem(
         gcfg, dcfg, guidance=stack.sds, prompt_embeddings=stack.prompt_embeddings
     )
+    # run-reproducibility snapshots + live progress file (the reference's
+    # CodeSnapshot/ConfigSnapshot/Progress callbacks, callbacks.py:60-158)
+    from garmentdreamer_tpu.core.callbacks import (
+        ProgressWriter,
+        save_code_snapshot,
+        save_config_snapshot,
+    )
+
+    save_code_snapshot(os.path.join(save_dir, "code"))
+    save_config_snapshot(os.path.join(save_dir, "configs"), gcfg)
+    progress = ProgressWriter(os.path.join(save_dir, "progress.txt"))
+
     st = system.init_state(template_path)
     st, _ = system.fit(
         st,
         ckpt_dir=os.path.join(save_dir, ".ckpt_3dgs"),
         ckpt_every=200,
         gs_check_dir=os.path.join(save_dir, "gs_check"),
+        callback=lambda step, *_: progress.step(step + 1, gcfg.max_steps),
+        metrics_jsonl=os.path.join(save_dir, "metrics.jsonl"),
     )
-    system.render_ring(st, save_dir)
+    progress.write("Rendering video ...")
+    system.render_ring(st, save_dir, video=True)
     return save_dir, gcfg.bound
 
 
@@ -235,7 +250,16 @@ def main(argv=None):
     p.add_argument("--model_scale", choices=["sd21", "tiny"], default="sd21")
     p.add_argument("--weights_dir", type=str, default=None, help="converted SD weights")
     p.add_argument("--metric3d_checkpoint", type=str, default=None)
+    p.add_argument(
+        "--debug", action="store_true",
+        help="NaN checks + failing-input snapshot dumps (core/debug.py; the "
+        "reference rasterizer's debug flag, __init__.py:83-91)",
+    )
     args = p.parse_args(argv)
+    if args.debug:
+        from garmentdreamer_tpu.core.debug import enable_debug
+
+        enable_debug(True)
     result = run_pipeline(args)
     print(f"final mesh: {result['final_mesh']}")
     for k, v in result["timings"].items():
