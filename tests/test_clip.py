@@ -38,6 +38,7 @@ def _torch_tiny():
 
 
 @pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
+@pytest.mark.slow
 def test_clip_parity_vs_transformers(act):
     import torch
 

@@ -150,6 +150,7 @@ class TestViewConventions:
         np.testing.assert_allclose(v.rgb[..., 0], 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestDeformationE2E:
     def test_mini_deformation(self, tmp_path):
         """3-iteration two-stage run on a tiny sphere template + synthetic

@@ -155,6 +155,7 @@ class TestUVExport:
         assert alb.max() > 50  # actually baked something
 
 
+@pytest.mark.slow
 class TestVSD:
     def _tiny_guidance(self):
         from garmentdreamer_tpu.guidance.unet import UNetConfig, UNet2DCondition
@@ -223,6 +224,7 @@ class TestVSD:
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 class TestFitTexture:
     def test_mini_fit(self, tmp_path):
         """Miniature fit_texture run against synthetic views: loss decreases

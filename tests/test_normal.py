@@ -178,6 +178,7 @@ class TestModel:
         )
 
 
+@pytest.mark.slow
 class TestStage2EndToEnd:
     def test_estimate_normals_writes_rgba(self, tmp_path):
         from PIL import Image

@@ -33,6 +33,7 @@ class TestMetrics:
         assert float(photometric_loss(a, a)) < 1e-5
 
 
+@pytest.mark.slow
 class TestPhotometricFit:
     def test_psnr_improves(self):
         """Fit a small cloud to renders of a known cloud: PSNR should climb."""

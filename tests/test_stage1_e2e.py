@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from garmentdreamer_tpu.core.io import ObjMesh, save_obj
 from garmentdreamer_tpu.data.cameras import RandomCameraConfig
 from garmentdreamer_tpu.guidance import (
