@@ -214,8 +214,13 @@ def rasterize_tiled(
         color, alpha, depth = composite_depth_ordered(pix, m, cn, cl, op, dp, bg)
         return color, alpha, depth  # (256,3),(256,),(256,)
 
-    def chunk_body(ts):  # (tile_chunk,)
-        return jax.vmap(tile_body)(ts)
+    # remat: without it the lax.map scan saves every chunk's compositor
+    # intermediates ((K, 256)-shaped alpha/transmittance/weight arrays) as
+    # backward residuals -- ~10 GB at 512^2 x 4 views x 100k, an HBM OOM on
+    # v5e (measured 24.9G/15.75G). Recomputing the composite in the backward
+    # pass costs one extra forward over each chunk and caps residuals at the
+    # chunk inputs.
+    chunk_body = jax.checkpoint(lambda ts: jax.vmap(tile_body)(ts))
 
     pad = (-n_tiles) % tile_chunk
     tile_ids = jnp.arange(n_tiles + pad, dtype=jnp.int32).reshape(-1, tile_chunk)
