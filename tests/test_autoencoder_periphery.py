@@ -89,6 +89,7 @@ class TestConditioning:
         idx = category_to_index(["shirt_001", "skirt_003", "shirt_002", "dress_01"])
         assert idx == {"dress": 0, "shirt": 1, "skirt": 2}
 
+    @pytest.mark.slow
     def test_category_conditioned_latent_diffusion(self):
         from garmentdreamer_tpu.autoencoder.trainer import LatentDiffusion
 

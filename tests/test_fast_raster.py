@@ -59,6 +59,7 @@ def test_two_class_budget_overflow_is_counted():
     assert int(nd) > 0
 
 
+@pytest.mark.slow
 def test_two_class_gradients_match():
     proj, H, W = _proj(inflate=20)
 

@@ -199,6 +199,7 @@ def _tiny_guidance():
     return SDSGuidance(cfg, unet_apply, up, vae_encode, vp), ucfg
 
 
+@pytest.mark.slow
 def test_sds_loss_and_gradient_flow():
     guidance, ucfg = _tiny_guidance()
     rgb = jnp.full((2, 24, 24, 3), 0.5)

@@ -40,6 +40,7 @@ def _tiny_if2(R=32):
     return g, cfg
 
 
+@pytest.mark.slow
 def test_if2_unet_io_shapes():
     g, cfg = _tiny_if2()
     out = g.unet_apply(
@@ -52,6 +53,7 @@ def test_if2_unet_io_shapes():
     assert out.shape == (2, 32, 32, 6)  # eps + learned variance
 
 
+@pytest.mark.slow
 def test_if2_loss_and_gradient_flow():
     g, cfg = _tiny_if2()
     B, R = 2, 32

@@ -21,6 +21,7 @@ def _mesh():
 
 
 class TestStage1DataParallel:
+    @pytest.mark.slow
     def test_sharded_train_step_matches_unsharded(self):
         """One stage-1 SDS step with the 8-view batch sharded over 'data'
         produces the same loss (and params) as fully-replicated execution."""
@@ -98,6 +99,7 @@ class TestStage1DataParallel:
         assert all(s.data.shape == (1, 4) for s in shards)
 
 
+@pytest.mark.slow
 class TestAutoencoderDataParallel:
     def test_encdec_mesh_step_matches_single(self):
         from garmentdreamer_tpu.autoencoder.trainer import EncDecConfig, EncDecTrainer

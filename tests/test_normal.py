@@ -137,6 +137,7 @@ class TestDecoderMath:
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestModel:
     def test_tiny_forward_shapes(self):
         cfg = NormalEstimatorConfig.tiny()
