@@ -53,6 +53,10 @@ class SDSConfig:
     latent_size: int = 64
     image_size: int = 512
     num_train_timesteps: int = 1000
+    # Score Jacobian Chaining alternative (stable_diffusion_guidance.py:38-39,
+    # 278-372): sigma-space noising + score-based grad instead of eps-SDS
+    use_sjc: bool = False
+    var_red: bool = True
 
 
 class SDSGuidance:
@@ -128,7 +132,17 @@ class SDSGuidance:
         t = jax.random.randint(rng_t, (B,), min_step, max_step + 1)
 
         noise = jax.random.normal(rng_noise, latents.shape, latents.dtype)
-        latents_noisy = add_noise(self.schedule, jax.lax.stop_gradient(latents), noise, t)
+        lat_sg = jax.lax.stop_gradient(latents)
+        if cfg.use_sjc:
+            # SJC noising: zs = y + sigma*eps with sigma = sqrt((1-a)/a);
+            # the UNet sees zs / sqrt(1 + sigma^2)
+            # (stable_diffusion_guidance.py:133,300-345)
+            acp_sjc = self.schedule.alphas_cumprod[t].reshape(B, 1, 1, 1)
+            sigma = jnp.sqrt((1.0 - acp_sjc) / acp_sjc)
+            zs = lat_sg + sigma * noise
+            latents_noisy = zs / jnp.sqrt(1.0 + sigma**2)
+        else:
+            latents_noisy = add_noise(self.schedule, lat_sg, noise, t)
 
         if neg_guidance_weights is not None:
             # perp-neg: [pos, uncond, neg0, neg1] in one 4B batch
@@ -155,17 +169,26 @@ class SDSGuidance:
             eps_cond, eps_uncond = jnp.split(eps_pred, 2, axis=0)
             eps_hat = eps_cond + cfg.guidance_scale * (eps_cond - eps_uncond)
 
-        acp_t = self.schedule.alphas_cumprod[t].reshape(B, 1, 1, 1)
-        if cfg.weighting_strategy == "sds":
-            w = 1.0 - acp_t
-        elif cfg.weighting_strategy == "uniform":
-            w = jnp.ones_like(acp_t)
-        elif cfg.weighting_strategy == "fantasia3d":
-            w = jnp.sqrt(acp_t) * (1.0 - acp_t)
+        if cfg.use_sjc:
+            # score grad: Ds = zs - sigma*eps_hat; grad = -(Ds - y)/sigma
+            # (var_red) or -(Ds - zs)/sigma (guidance.py:358-362)
+            Ds = zs - sigma * eps_hat
+            if cfg.var_red:
+                grad = -(Ds - lat_sg) / sigma
+            else:
+                grad = -(Ds - zs) / sigma
         else:
-            raise ValueError(cfg.weighting_strategy)
+            acp_t = self.schedule.alphas_cumprod[t].reshape(B, 1, 1, 1)
+            if cfg.weighting_strategy == "sds":
+                w = 1.0 - acp_t
+            elif cfg.weighting_strategy == "uniform":
+                w = jnp.ones_like(acp_t)
+            elif cfg.weighting_strategy == "fantasia3d":
+                w = jnp.sqrt(acp_t) * (1.0 - acp_t)
+            else:
+                raise ValueError(cfg.weighting_strategy)
 
-        grad = w * (eps_hat - noise)
+            grad = w * (eps_hat - noise)
         grad = jnp.nan_to_num(grad)
         if grad_clip_val is not None:
             grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)
