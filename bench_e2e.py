@@ -83,7 +83,7 @@ system:
 iterations_first: 20
 iterations_second: 10
 upsample_iterations: []
-picked_views_first: [0, 4, 8, 12]
+picked_views_first: [0, 12]
 picked_views_second: [0, 1, 2, 3]
 save_frequency: 0
 """
