@@ -67,7 +67,7 @@ def bench_splat_render(st, cams):
         out = render_view(
             s, cc, bg, RES, RES, max_per_tile=256,
             fast=True, payload_dtype="packed",
-            classes=((8, None), (64, 4096)),
+            classes=((6, None), (64, 4096)),
         )
         return out["render"].sum() + out["alpha"].sum(), out["n_dropped"]
 
@@ -101,7 +101,7 @@ def bench_splat_train(st, cams):
             out = render_view(
                 s, cc, bg, RES, RES, max_per_tile=256,
                 fast=True, payload_dtype="packed",
-                classes=((4, None), (16, 16384), (64, 1024)),
+                classes=((6, None), (64, 4096)),
                 max_tiles_per_gaussian=16, big_budget=1024, big_tiles=256,
             )
             return out["render"].mean() + out["alpha"].mean()

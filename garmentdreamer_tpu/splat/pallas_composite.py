@@ -1,18 +1,24 @@
 """Pallas TPU kernel for the per-tile splat compositing pass.
 
 This is the framework's hottest loop (SURVEY.md section 3.2: FORWARD::render,
-reference forward.cu:261-381 -- one 16x16 CUDA block per tile). Mapping:
+reference forward.cu:261-381 -- one 16x16 CUDA block per tile, shared-memory
+batches of 256 Gaussians looped until the tile's list is exhausted). Mapping:
 
-* each grid program composites ``TPB`` tiles; per-tile instance windows are
-  DMA'd from the tile-sorted (16, L) HBM attribute matrix with double
-  buffering, so tile i+1's window streams in while tile i computes;
+* each grid program composites ``TPB`` tiles; every tile CHAINS windows of
+  ``K`` instances -- DMA'd from the tile-sorted HBM attribute matrix with
+  double buffering -- until its full list is consumed, carrying the
+  transmittance/color accumulators across windows. No per-tile depth cap:
+  like the CUDA kernel, arbitrarily deep lists are composited exactly, and
+  per-pixel accumulation stops at the T < 1e-4 early-exit;
 * window starts come from the scalar-prefetched ``starts`` array, aligned
-  down to 128 lanes (Mosaic slice alignment) with [s, e) masking of
-  neighbors' rows;
-* the front-to-back transmittance recurrence is evaluated with a
+  down to 128 lanes (Mosaic slice alignment) with [lo, hi) masking;
+* the front-to-back transmittance recurrence is evaluated per window with a
   lower-triangular MXU matmul over log(1 - alpha) -- prefix sums on the MXU
-  instead of a sequential scan;
-* per tile the kernel emits a (5, 256) block: rgb, alpha, expected depth.
+  instead of a sequential scan -- stitched across windows by the log-T carry.
+
+Early-exit semantics match forward.cu:300-320: a splat whose inclusion would
+push T below 1e-4 is skipped and the pixel freezes; the weight prefix uses
+the TRUE transmittance product while the output alpha uses the frozen one.
 
 The XLA path (rasterize.py tile_body) remains the autodiff/backward
 implementation; this kernel serves inference (render_ring, bench).
@@ -47,8 +53,8 @@ def _unpack2(block_u32):
     return hi.astype(jnp.float32), lo.astype(jnp.float32)
 
 
-def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
-            max_off, tpb, relative_means, packed):
+def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, K,
+            tiles_x, max_off, tpb, relative_means, packed):
     blk = pl.program_id(0)
     t_base = blk * tpb
 
@@ -58,31 +64,21 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
     bg = bg_ref[0, :]  # (3,)
 
-    def off_of(t):
-        s = starts_ref[t]
+    def off_of(pos):
         return pl.multiple_of(
-            jnp.minimum((s // ALIGN) * ALIGN, max_off), ALIGN
+            jnp.minimum((pos // ALIGN) * ALIGN, max_off), ALIGN
         )
 
-    def get_dma(slot, t):
+    def get_dma(slot, pos):
         return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(off_of(t), W)], scratch.at[slot], sem.at[slot]
+            attrs_ref.at[:, pl.ds(off_of(pos), W)], scratch.at[slot], sem.at[slot]
         )
 
-    get_dma(0, t_base).start()
-
-    def body(i, _):
+    def tile_loop(i, _):
         t = t_base + i
-        slot = i % 2
-
-        @pl.when(i + 1 < tpb)
-        def _():
-            get_dma((i + 1) % 2, t + 1).start()
-
-        get_dma(slot, t).wait()
         s = starts_ref[t]
         e = starts_ref[t + 1]
-        off = off_of(t)
+        n_win = (e - s + K - 1) // K  # 0 for empty tiles
 
         ty = t // tiles_x
         tx = t % tiles_x
@@ -95,71 +91,108 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, tiles_x,
             px = (tx * TILE + (lin % TILE)).astype(jnp.float32)  # (1, PIX)
             py = (ty * TILE + (lin // TILE)).astype(jnp.float32)
 
-        idx = off + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-        # cap at s+K exactly like the XLA tile path's max_per_tile window
-        e_cap = jnp.minimum(e, s + (W - ALIGN))
-        in_range = ((idx >= s) & (idx < e_cap)).astype(jnp.float32)  # (W, 1)
+        @pl.when(n_win > 0)
+        def _():
+            get_dma(0, s).start()
 
-        if packed:
-            raw = scratch[slot]  # (8, W) u32; rows 5..7 pad
-            hi, lo = _unpack2(raw)  # (8, W) f32 each
-            mx_v, my_v = hi[0, :], lo[0, :]
-            ca_v, cb_v = hi[1, :], lo[1, :]
-            cc_v, op_v = hi[2, :], lo[2, :]
-            r_v, g_v = hi[3, :], lo[3, :]
-            b_v, dp_v = hi[4, :], lo[4, :]
-            rgb_rows = jnp.stack([r_v, g_v, b_v], axis=0)  # (3, W)
-        else:
-            rows = scratch[slot].astype(jnp.float32)  # (16, W); rows 10+ pad
-            mx_v, my_v = rows[0, :], rows[1, :]
-            ca_v, cb_v, cc_v = rows[2, :], rows[3, :], rows[4, :]
-            op_v, dp_v = rows[8, :], rows[9, :]
-            rgb_rows = rows[5:8, :]
+        def win_body(w, carry):
+            tlog_true, tlog_frozen, rgb_acc, d_acc = carry
+            slot = w % 2
+            lo = s + w * K
+            hi = jnp.minimum(e, lo + K)
 
-        mx = mx_v[:, None]  # (W, 1)
-        my = my_v[:, None]
-        ca = ca_v[:, None]
-        cb = cb_v[:, None]
-        cc = cc_v[:, None]
-        op = op_v[:, None] * in_range
+            @pl.when(w + 1 < n_win)
+            def _():
+                get_dma((w + 1) % 2, lo + K).start()
 
-        dx = px - mx  # (W, PIX)
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = op * jnp.exp(jnp.minimum(power, 0.0))
-        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
-        alpha = jnp.minimum(alpha, ALPHA_MAX)
+            get_dma(slot, lo).wait()
+            off = off_of(lo)
 
-        logs = jnp.log1p(-alpha)  # (W, PIX)
-        incl = jnp.dot(tri_incl, logs, preferred_element_type=jnp.float32)
-        t_after = jnp.exp(incl)
-        t_prefix = jnp.exp(incl - logs)  # (W, PIX)
-        contrib = (t_after >= T_EPS).astype(jnp.float32)  # CUDA early-exit analog
-        w = alpha * t_prefix * contrib  # (W, PIX)
+            idx = off + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+            in_range = ((idx >= lo) & (idx < hi)).astype(jnp.float32)  # (W, 1)
 
-        rgb = jnp.dot(rgb_rows, w, preferred_element_type=jnp.float32)
-        acc_d = jnp.sum(w * dp_v[:, None], axis=0, keepdims=True)
-        t_final = jnp.exp(jnp.sum(logs * contrib, axis=0, keepdims=True))
+            if packed:
+                raw = scratch[slot]  # (8, W) u32; rows 5..7 pad
+                hi2, lo2 = _unpack2(raw)  # (8, W) f32 each
+                mx_v, my_v = hi2[0, :], lo2[0, :]
+                ca_v, cb_v = hi2[1, :], lo2[1, :]
+                cc_v, op_v = hi2[2, :], lo2[2, :]
+                r_v, g_v = hi2[3, :], lo2[3, :]
+                b_v, dp_v = hi2[4, :], lo2[4, :]
+                rgb_rows = jnp.stack([r_v, g_v, b_v], axis=0)  # (3, W)
+            else:
+                rows = scratch[slot].astype(jnp.float32)  # (16, W)
+                mx_v, my_v = rows[0, :], rows[1, :]
+                ca_v, cb_v, cc_v = rows[2, :], rows[3, :], rows[4, :]
+                op_v, dp_v = rows[8, :], rows[9, :]
+                rgb_rows = rows[5:8, :]
 
-        out_ref[i, 0:3, :] = rgb + bg[:, None] * t_final
+            dx = px - mx_v[:, None]  # (W, PIX)
+            dy = py - my_v[:, None]
+            power = (
+                -0.5 * (ca_v[:, None] * dx * dx + cc_v[:, None] * dy * dy)
+                - cb_v[:, None] * dx * dy
+            )
+            op = op_v[:, None] * in_range
+            alpha = op * jnp.exp(jnp.minimum(power, 0.0))
+            alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+            alpha = jnp.minimum(alpha, ALPHA_MAX)
+
+            logs = jnp.log1p(-alpha)  # (W, PIX)
+            if packed or relative_means:
+                # bf16 MXU inputs for the O(W^2 PIX) prefix matmul: log-space
+                # values are O(1) negatives, so bf16's ~0.4% relative error
+                # stays within the bf16-payload error budget; f32 accumulate.
+                # The f32 payload mode keeps the full-precision matmul (its
+                # contract is 1e-5 parity with the XLA path).
+                incl = jnp.dot(
+                    tri_incl.astype(jnp.bfloat16), logs.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                incl = jnp.dot(tri_incl, logs, preferred_element_type=jnp.float32)
+            # TRUE transmittance after/before each splat, incl. the carry
+            t_after = jnp.exp(tlog_true + incl)
+            t_prefix = jnp.exp(tlog_true + incl - logs)
+            contrib = (t_after >= T_EPS).astype(jnp.float32)  # CUDA early-exit
+            wgt = alpha * t_prefix * contrib  # (W, PIX)
+
+            rgb_acc = rgb_acc + jnp.dot(
+                rgb_rows, wgt, preferred_element_type=jnp.float32
+            )
+            d_acc = d_acc + jnp.sum(wgt * dp_v[:, None], axis=0, keepdims=True)
+            tlog_true = tlog_true + jnp.sum(logs, axis=0, keepdims=True)
+            tlog_frozen = tlog_frozen + jnp.sum(logs * contrib, axis=0, keepdims=True)
+            return tlog_true, tlog_frozen, rgb_acc, d_acc
+
+        zero1 = jnp.zeros((1, PIX), jnp.float32)
+        zero3 = jnp.zeros((3, PIX), jnp.float32)
+        _, tlog_frozen, rgb_acc, d_acc = jax.lax.fori_loop(
+            0, n_win, win_body, (zero1, zero1, zero3, zero1)
+        )
+
+        t_final = jnp.exp(tlog_frozen)  # (1, PIX)
+        out_ref[i, 0:3, :] = rgb_acc + bg[:, None] * t_final
         out_ref[i, 3:4, :] = 1.0 - t_final
-        out_ref[i, 4:5, :] = acc_d
+        out_ref[i, 4:5, :] = d_acc
         return 0
 
-    jax.lax.fori_loop(0, tpb, body, 0)
+    jax.lax.fori_loop(0, tpb, tile_loop, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "tiles_x", "K"))
 def composite_tiles_pallas(
     starts: jnp.ndarray,  # (T+1,) int32
-    inst_attrs_t: jnp.ndarray,  # (10, L) f32, tile-sorted columns
+    inst_attrs_t: jnp.ndarray,  # (10, L) f32 / bf16 or (5, L) u32 packed
     bg: jnp.ndarray,  # (3,)
     n_tiles: int,
     tiles_x: int,
     K: int = 256,
 ):
     """-> (T, 5, 256): per-tile [r, g, b, alpha, depth] x pixels (row-major
-    16x16, x fastest).
+    16x16, x fastest). ``K`` is the WINDOW size (the CUDA shared-memory batch,
+    forward.cu BLOCK-batch of 256), not a cap: tiles with deeper lists chain
+    windows until exhausted, so output is exact for any list depth.
 
     ``inst_attrs_t`` may be float32 (10 rows, absolute pixel means), bfloat16
     (10 rows, means tile-relative; halves sort+DMA bytes, ~0.4% value error),
@@ -183,7 +216,7 @@ def composite_tiles_pallas(
     max_off = L - W
 
     kernel = functools.partial(
-        _kernel, W=W, tiles_x=tiles_x, max_off=max_off, tpb=tpb,
+        _kernel, W=W, K=K, tiles_x=tiles_x, max_off=max_off, tpb=tpb,
         relative_means=relative_means, packed=packed,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

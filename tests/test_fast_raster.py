@@ -78,8 +78,10 @@ def test_two_class_gradients_match():
 
 def test_fast_forward_matches_xla_path_interpret():
     proj, H, W = _proj()
+    # XLA window big enough that nothing truncates; the Pallas path CHAINS
+    # 128-wide windows and must still match exactly
     cref, aref, dref, _ = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
-                                          max_per_tile=128)
+                                          max_per_tile=512)
     with pltpu.force_tpu_interpret_mode():
         cf, af, df, _ = rasterize_tiled_fast(proj, H, W, BG,
                                              max_tiles_per_gaussian=8, max_per_tile=128)
@@ -88,10 +90,30 @@ def test_fast_forward_matches_xla_path_interpret():
     assert float(jnp.abs(df - dref).max()) < 1e-5
 
 
+def test_window_chaining_exact_on_deep_tiles():
+    """Tiles deeper than one window must composite identically to the
+    uncapped XLA path (the CUDA kernel's batch loop, forward.cu:300-345)."""
+    from garmentdreamer_tpu.splat.rasterize import rasterize_tiled_packed
+
+    # pile many translucent splats into few tiles
+    proj, H, W = _proj(n=500, H=32, W=32, seed=3)
+    cref, aref, _, nd0 = rasterize_tiled(proj, H, W, BG,
+                                         max_tiles_per_gaussian=8,
+                                         max_per_tile=1024)
+    assert int(nd0) == 0, "reference window must not truncate"
+    with pltpu.force_tpu_interpret_mode():
+        cp, ap, _, nd = rasterize_tiled_packed(
+            proj, H, W, BG, classes=((8, None), (64, 512)), max_per_tile=128,
+        )
+    assert int(nd) == 0
+    assert float(jnp.abs(cp - cref).max()) < 2e-2  # bf16 payload budget
+    assert float(jnp.abs(ap - aref).max()) < 2e-2
+
+
 def test_fast_forward_bf16_payloads_close():
     proj, H, W = _proj()
     cref, aref, _, _ = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
-                                       max_per_tile=128)
+                                       max_per_tile=512)
     with pltpu.force_tpu_interpret_mode():
         cf, af, _, _ = rasterize_tiled_fast(
             proj, H, W, BG, max_tiles_per_gaussian=8, max_per_tile=128,
@@ -108,11 +130,11 @@ def test_packed_forward_close_to_xla_path():
     proj, H, W = _proj(inflate=20)
     cref, aref, dref, nd0 = rasterize_tiled(proj, H, W, BG,
                                             max_tiles_per_gaussian=64,
-                                            max_per_tile=128)
+                                            max_per_tile=512)
     with pltpu.force_tpu_interpret_mode():
         cp, ap, dp, nd = rasterize_tiled_packed(
             proj, H, W, BG, classes=((4, None), (16, 512), (64, 64)),
-            max_per_tile=128,
+            max_per_tile=512,
         )
     assert int(nd0) == 0 and int(nd) == 0
     # packed bf16 pairs: same ~0.4% budget as the bf16 payload mode
