@@ -167,7 +167,39 @@ def reconstruction(
     if cfg.fit_tex:
         trainer.fit_texture(save_dir, save=True)
     if enhance:
-        trainer.train_vsd()
+        if cfg.mode == "IF2":
+            # garment_netf_configs.yml mode: "IF2" -> pixel-space IF-II SR
+            # guidance instead of VSD (netf/guidance/if2_utils.py)
+            import jax
+            import jax.numpy as jnp
+
+            from garmentdreamer_tpu.guidance import (
+                IF2Config, IF2Guidance, UNet2DCondition, if2_unet_config,
+            )
+
+            tiny = scale == "tiny"
+            ucfg = if2_unet_config(tiny=tiny)
+            unet = UNet2DCondition(ucfg)
+            R = 32 if tiny else 256
+            ifp = unet.init(
+                jax.random.key(0), jnp.zeros((1, R, R, 6)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+                jnp.zeros((1, ucfg.extra_emb_dim)),
+            )
+            g = IF2Guidance(
+                IF2Config(resolution=R, extra_emb_dim=ucfg.extra_emb_dim),
+                lambda p, x, t, c, e: unet.apply(p, x, t, c, e), ifp,
+            )
+            D = ucfg.cross_attention_dim
+            # direction-indexed embeddings (front/side/back) from the prompt
+            # cache pathway; pseudo fallback mirrors stage-1 behavior
+            text3 = jnp.stack([stack.prompt_embeddings.text] * 3) if (
+                stack.prompt_embeddings.text.shape[-1] == D
+            ) else jnp.ones((3, 77, D)) * 0.01
+            uncond = jnp.zeros((77, D))
+            trainer.train_if2(g, text3, uncond)
+        else:
+            trainer.train_vsd()
         return os.path.join(outdir, "final_mesh_finetuned.obj")
     return os.path.join(outdir, "final_mesh_fitted_texture.obj")
 

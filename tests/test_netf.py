@@ -258,4 +258,50 @@ class TestFitTexture:
         tr = NeTFTrainer(cfg, str(mesh_path), str(tmp_path / "gs_rendered_rgba"), str(tmp_path / "out"))
         loss = tr.fit_texture(str(tmp_path), save=True)
         assert np.isfinite(loss)
+        import os
         assert os.path.isfile(tmp_path / "out" / "final_mesh_fitted_texture.obj")
+
+    def test_if2_refinement_runs(self, tmp_path):
+        """mode:'IF2' refinement: tiny IF-II guidance drives texture updates
+        and exports final_mesh_finetuned.obj (reference loads IF2 behind
+        mode but can't run it; here the path executes)."""
+        import os
+
+        from garmentdreamer_tpu.core import io as gio
+        from garmentdreamer_tpu.guidance import (
+            IF2Config,
+            IF2Guidance,
+            UNet2DCondition,
+            if2_unet_config,
+        )
+
+        v, f = sphere_mesh(12, 8)
+        mesh_path = tmp_path / "final_mesh.obj"
+        gio.save_obj(str(mesh_path), gio.ObjMesh(vertices=v, faces=f))
+
+        cfg = NeTFConfig(
+            iters=2, batch_size_train=2, render_resolution=32,
+            texture_resolution=64, mode="IF2",
+            max_per_tile=64, max_tiles_per_tri=16, fit_tex=False,
+        )
+        tr = NeTFTrainer(cfg, str(mesh_path), "", str(tmp_path / "out"))
+
+        ucfg = if2_unet_config(tiny=True)
+        unet = UNet2DCondition(ucfg)
+        R = 32
+        p = unet.init(
+            jax.random.key(0), jnp.zeros((1, R, R, 6)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 7, ucfg.cross_attention_dim)),
+            jnp.zeros((1, ucfg.extra_emb_dim)),
+        )
+        g = IF2Guidance(
+            IF2Config(resolution=R, extra_emb_dim=ucfg.extra_emb_dim),
+            lambda pp, x, t, c, e: unet.apply(pp, x, t, c, e), p,
+        )
+        text3 = jnp.ones((3, 7, ucfg.cross_attention_dim)) * 0.1
+        uncond = jnp.zeros((7, ucfg.cross_attention_dim))
+        before = jax.tree.leaves(tr.tex_params)[0].copy()
+        tr.train_if2(g, text3, uncond)
+        after = jax.tree.leaves(tr.tex_params)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+        assert os.path.exists(tmp_path / "out" / "final_mesh_finetuned.obj")
