@@ -127,6 +127,47 @@ def bin_gaussians(
     )
 
 
+@jax.custom_vjp
+def _payload_sort(tile_flat, depths_sg, payloads):
+    """(tile, depth)-keyed variadic sort of the 10 payload columns, with a
+    FAST backward.
+
+    ``lax.sort``'s builtin VJP applies the inverse permutation with gathers:
+    measured 460 ms at 2^21 rows x 10 payloads on v5e -- 30x the 15 ms
+    forward sort, and the single largest cost in the stage-1 train step.
+    Since the permutation is a bijection, routing cotangents back is itself
+    just a sort: carry the original flat index through the forward sort,
+    then in the backward sort the cotangent columns keyed by that index --
+    one more ~15 ms sort instead of ~half a second of gathers.
+    """
+    sorted_ops = jax.lax.sort(
+        (tile_flat, depths_sg, *payloads), num_keys=2, is_stable=False
+    )
+    return sorted_ops[0], tuple(sorted_ops[2:])
+
+
+def _payload_sort_fwd(tile_flat, depths_sg, payloads):
+    L = tile_flat.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (tile_flat, depths_sg, idx, *payloads), num_keys=2, is_stable=False
+    )
+    out = (sorted_ops[0], tuple(sorted_ops[3:]))
+    return out, sorted_ops[2]
+
+
+def _payload_sort_bwd(idx_sorted, ct):
+    import numpy as _np
+
+    _, ct_rows = ct  # tile_sorted output is integer: no cotangent
+    back = jax.lax.sort((idx_sorted, *ct_rows), num_keys=1, is_stable=False)
+    zero_tile = _np.zeros(idx_sorted.shape, jax.dtypes.float0)
+    return zero_tile, jnp.zeros(idx_sorted.shape, jnp.float32), tuple(back[1:])
+
+
+_payload_sort.defvjp(_payload_sort_fwd, _payload_sort_bwd)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -176,11 +217,8 @@ def rasterize_tiled(
         big_budget=big_budget, big_tiles=big_tiles,
     )
     depths_sg = jax.lax.stop_gradient(payloads[9])
-    sorted_ops = jax.lax.sort(
-        (tile_flat, depths_sg, *payloads), num_keys=2, is_stable=False
-    )
-    tile_sorted = sorted_ops[0]
-    inst_attrs = jnp.stack(sorted_ops[2:], axis=1)  # (L, 10)
+    tile_sorted, rows = _payload_sort(tile_flat, depths_sg, tuple(payloads))
+    inst_attrs = jnp.stack(rows, axis=1)  # (L, 10)
     L = inst_attrs.shape[0]
     starts = jnp.searchsorted(
         tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)

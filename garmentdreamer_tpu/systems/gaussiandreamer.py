@@ -158,10 +158,18 @@ class GaussianDreamerSystem:
 
         @jax.jit
         def render_fwd(params, stats, cams):
+            # Pallas packed path: exact window-chained compositing, ~4x the
+            # XLA tile path (56 vs 237 ms at B=4/512^2/100k measured). B's
+            # cotangents are evaluated at these images; C's VJP re-renders on
+            # the f32 XLA path, so gradients see ~0.4% bf16 payload noise --
+            # far below the SDS noise floor.
             out = render_batch(
                 _state(params, stats), cams, bg, height, width,
-                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-                max_per_tile=cfg.max_per_tile,
+                # K is only the chained-window size on this path (no cap);
+                # Mosaic needs a 128-lane multiple
+                max_per_tile=max(128, -(-cfg.max_per_tile // 128) * 128),
+                fast=True, payload_dtype="packed",
+                classes=((6, None), (64, 8192)),
             )
             return out["render"], out["depth"]
 
