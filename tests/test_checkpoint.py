@@ -87,12 +87,20 @@ class TestFitResume:
         ckdir = str(tmp_path / "ck")
 
         steps_run = []
+        metrics_path = str(tmp_path / "metrics.jsonl")
         st2, _ = sys1.fit(
             st, callback=lambda s, *_: steps_run.append(s),
-            ckpt_dir=ckdir, ckpt_every=2,
+            ckpt_dir=ckdir, ckpt_every=2, log_every=1,
+            metrics_jsonl=metrics_path,
         )
         assert steps_run == [0, 1, 2, 3]
         assert latest_step(ckdir) == 3
+        # scalar log stream: one record per logged step with the loss scalars
+        import json as _json
+
+        recs = [_json.loads(l) for l in open(metrics_path)]
+        assert [r["step"] for r in recs] == [0, 1, 2, 3]
+        assert all("loss" in r and "loss_sds" in r for r in recs)
 
         # resume: a FRESH initial state (the train step donates buffers, so
         # resume always starts from init_state + restore, like the driver)
