@@ -539,6 +539,9 @@ def rasterize_tiled_packed(
 
     if height % TILE or width % TILE:
         raise ValueError(f"height/width must be multiples of {TILE}")
+    # K is only the chained-window size (no cap): round up to the Mosaic
+    # 128-lane quantum so tiny-config callers (max_per_tile=64 tests) work
+    max_per_tile = max(128, -(-max_per_tile // 128) * 128)
     tiles_x = width // TILE
     tiles_y = height // TILE
     n_tiles = tiles_x * tiles_y
