@@ -212,6 +212,14 @@ def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
     os.makedirs(save_dir, exist_ok=True)
     timings: Dict[str, float] = {}
 
+    # hierarchical profiler, wired per stage (the reference ships one but
+    # never connects it, deformer/utils/profiling.py:6-83 / SURVEY 5.1);
+    # GD_TRACE=<dir> additionally captures a jax.profiler XLA trace
+    from garmentdreamer_tpu.core.profiler import Profiler
+
+    prof = Profiler(xla_trace_dir=os.environ.get("GD_TRACE") or None)
+    prof.start_xla_trace()
+
     gs_cfg = load_config(args.gs_config) if args.gs_config else None
     deformer_cfg = load_config(args.deformer_config) if args.deformer_config else None
     netf_cfg = load_config(args.netf_config) if args.netf_config else None
@@ -263,6 +271,13 @@ def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
     )
     timings["stage4_netf"] = time.time() - t0
     timings["total"] = time.time() - t_start
+
+    # persist the per-stage profile alongside the artifacts
+    for k, v in timings.items():
+        node = prof.root.children.setdefault(k, type(prof.root)(k))
+        node.total, node.count = v, 1
+    prof.stop_xla_trace()
+    prof.dump_json(os.path.join(save_dir, "profile.json"))
 
     return {"save_dir": save_dir, "final_mesh": textured, "timings": timings}
 
