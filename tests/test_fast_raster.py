@@ -166,6 +166,22 @@ def test_packed_final_class_cap_counts_drops():
     assert int(nd) > 0
 
 
+def test_xla_depth_canary_fires_only_when_unsaturated():
+    """The XLA training path's n_dropped must include depth-cap truncation
+    ONLY where transmittance had not saturated: a translucent deep stack
+    fires the canary at a small window and is silent at a window covering
+    the full list (VERDICT r1 item 6: prove the counter fires)."""
+    proj, H, W = _proj(n=500, H=32, W=32, seed=3)
+    _, _, _, nd_small = rasterize_tiled(proj, H, W, BG,
+                                        max_tiles_per_gaussian=8,
+                                        max_per_tile=64)
+    _, _, _, nd_big = rasterize_tiled(proj, H, W, BG,
+                                      max_tiles_per_gaussian=8,
+                                      max_per_tile=1024)
+    assert int(nd_small) > 0, "truncated translucent stack must fire the canary"
+    assert int(nd_big) == 0
+
+
 def test_hybrid_gradients_are_xla_gradients():
     proj, H, W = _proj()
 
