@@ -121,3 +121,48 @@ def full_eval(
     )
     metrics["train_PSNR"] = train_metrics.get("psnr", float("nan"))
     return metrics
+
+
+def main(argv=None):
+    """CLI: the reference's train.py + render.py + metrics.py in one pass
+    (gaussiansplatting full_eval.py orchestration).
+
+    Usage: python -m garmentdreamer_tpu.splat.eval <scene_dir> <out_dir>
+           [--iterations N] [--eval] [--white-background] [--lpips-ckpt p.pth]
+    """
+    import argparse
+
+    from garmentdreamer_tpu.splat.scene import load_scene
+
+    ap = argparse.ArgumentParser(prog="garmentdreamer_tpu.splat.eval")
+    ap.add_argument("scene_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--iterations", type=int, default=7000)
+    ap.add_argument("--eval", action="store_true",
+                    help="hold out every llffhold-th view (COLMAP) / the "
+                    "test split (Blender)")
+    ap.add_argument("--white-background", action="store_true")
+    ap.add_argument("--lpips-ckpt", default=None,
+                    help="lpips.LPIPS(net='vgg') torch state dict for LPIPS")
+    a = ap.parse_args(argv)
+
+    scene = load_scene(a.scene_dir, eval=a.eval,
+                       white_background=a.white_background)
+    lp = None
+    if a.lpips_ckpt:
+        import torch
+
+        from garmentdreamer_tpu.splat.lpips import convert_lpips_torch
+
+        lp = convert_lpips_torch(
+            {k: v.numpy() for k, v in
+             torch.load(a.lpips_ckpt, map_location="cpu").items()}
+        )
+    metrics = full_eval(scene, a.out_dir, iterations=a.iterations,
+                        lpips_params=lp)
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

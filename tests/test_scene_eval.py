@@ -216,6 +216,29 @@ class TestLPIPS:
         assert float(d[0]) < 1e-6
 
 
+@pytest.mark.slow
+class TestFullEval:
+    def test_blender_scene_end_to_end(self, tmp_path):
+        """train.py + render.py + metrics.py in one pass (full_eval.py)."""
+        from garmentdreamer_tpu.splat.eval import full_eval
+        from garmentdreamer_tpu.splat.photometric import PhotometricConfig
+
+        _make_blender_scene(str(tmp_path), n_train=2, n_test=1, hw=16)
+        sc = load_scene(str(tmp_path), eval=True)
+        out = str(tmp_path / "out")
+        m = full_eval(
+            sc, out,
+            fit_cfg=PhotometricConfig(
+                iterations=3, batch_size=1, max_per_tile=64,
+                max_tiles_per_gaussian=8,
+            ),
+        )
+        assert np.isfinite(m["PSNR"]) and np.isfinite(m["SSIM"])
+        assert os.path.isfile(os.path.join(out, "results.json"))
+        assert os.path.isfile(os.path.join(out, "renders", "00000.png"))
+        assert os.path.isfile(os.path.join(out, "gt", "00000.png"))
+
+
 class TestEvaluate:
     def test_psnr_ssim_lpips_dict(self, tmp_path):
         from garmentdreamer_tpu.splat.eval import evaluate
