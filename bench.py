@@ -160,9 +160,9 @@ def bench_sds_step():
         text=jnp.ones((77, ucfg.cross_attention_dim)) * 0.01,
         uncond=jnp.zeros((77, ucfg.cross_attention_dim)),
     )
-    cfg = GaussianDreamerConfig(
-        capacity=1 << 17, max_tiles_per_gaussian=16, max_per_tile=256, max_steps=1
-    )
+    # production rasterizer defaults (two-class expansion, mpt=512 window):
+    # the SDS metric reflects the pipeline's real per-step configuration
+    cfg = GaussianDreamerConfig(capacity=1 << 17, max_steps=1)
     data_cfg = RandomCameraConfig(height=RES, width=RES, batch_size=4)
     system = GaussianDreamerSystem(cfg, data_cfg, guidance, emb)
 

@@ -40,6 +40,34 @@ class RenderOut(NamedTuple):
     depth: jnp.ndarray  # (H, W)
 
 
+@jax.custom_vjp
+def _cumprod_pos(x):
+    """cumprod over the last axis for STRICTLY POSITIVE factors.
+
+    XLA's cumprod VJP builds a log-depth chain of padded/sliced copies of the
+    full (..., K) operand -- measured ~1 GB temporaries per copy and a 4x
+    slowdown at K=512 (4 views x 512^2), and an HBM OOM at K=1024. Alpha is
+    capped at ALPHA_MAX < 1, so every factor is >= 1-ALPHA_MAX and the
+    closed-form gradient is stable:
+        d/dx_j = sum_{k>=j} ct_k y_k / x_j = reverse_cumsum(ct*y) / x.
+    """
+    return jnp.cumprod(x, axis=-1)
+
+
+def _cumprod_pos_fwd(x):
+    y = jnp.cumprod(x, axis=-1)
+    return y, (x, y)
+
+
+def _cumprod_pos_bwd(res, ct):
+    x, y = res
+    rev = jnp.flip(jnp.cumsum(jnp.flip(ct * y, -1), axis=-1), -1)
+    return (rev / x,)
+
+
+_cumprod_pos.defvjp(_cumprod_pos_fwd, _cumprod_pos_bwd)
+
+
 def composite_depth_ordered(
     pix_xy: jnp.ndarray,  # (..., 2) pixel centers
     means2d: jnp.ndarray,  # (G, 2) depth-ordered
@@ -65,7 +93,7 @@ def composite_depth_ordered(
     # stay > 0): saves the log1p/exp transcendentals of the log-space form --
     # 134M pairs/frame makes that ~30% of compositing time on the VPU
     one_m = 1.0 - alpha  # (..., G)
-    t_incl = jnp.cumprod(one_m, axis=-1)
+    t_incl = _cumprod_pos(one_m)
     contrib = t_incl >= T_EPS  # sticky stop: t_incl is monotone non-increasing
     t_prefix = jnp.concatenate(
         [jnp.ones_like(t_incl[..., :1]), t_incl[..., :-1]], axis=-1

@@ -82,8 +82,14 @@ class GaussianDreamerConfig:
     lambda_sparsity: Any = 1.0
     lambda_opaque: Any = 0.0
     bg_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
-    # rasterizer capacities
-    max_tiles_per_gaussian: int = 32
+    # rasterizer capacities (training path). Two-class expansion: small
+    # splats get max_tiles_per_gaussian slots, up to big_budget larger ones
+    # get big_tiles slots each -- ~2.5x fewer sorted rows than a flat cap at
+    # the measured tile-count distribution, with overflow counted in
+    # n_dropped (and the depth canary watching max_per_tile).
+    max_tiles_per_gaussian: int = 6
+    big_budget: int = 4096
+    big_tiles: int = 64
     max_per_tile: int = 512
     seed: int = 123
 
@@ -223,6 +229,7 @@ class GaussianDreamerSystem:
                     screen_offsets=so,
                     max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                     max_per_tile=cfg.max_per_tile,
+                    big_budget=cfg.big_budget, big_tiles=cfg.big_tiles,
                 )
                 # VJP under the guidance cotangents: d(proxy)/d(render params)
                 # == the fused step's gradient
