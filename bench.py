@@ -57,6 +57,7 @@ def bench_splat_render(st, cams):
     import jax
     import jax.numpy as jnp
 
+    from garmentdreamer_tpu.splat.budgets import classes_for
     from garmentdreamer_tpu.splat.render import render_view
 
     bg = jnp.ones(3, jnp.float32)
@@ -67,7 +68,7 @@ def bench_splat_render(st, cams):
         out = render_view(
             s, cc, bg, RES, RES, max_per_tile=256,
             fast=True, payload_dtype="packed",
-            classes=((6, None), (64, 4096)),
+            classes=classes_for(RES, RES, st.capacity),
         )
         return out["render"].sum() + out["alpha"].sum(), out["n_dropped"]
 
@@ -90,6 +91,7 @@ def bench_splat_train(st, cams):
     import jax
     import jax.numpy as jnp
 
+    from garmentdreamer_tpu.splat.budgets import classes_for
     from garmentdreamer_tpu.splat.render import render_view
 
     bg = jnp.ones(3, jnp.float32)
@@ -101,7 +103,7 @@ def bench_splat_train(st, cams):
             out = render_view(
                 s, cc, bg, RES, RES, max_per_tile=256,
                 fast=True, payload_dtype="packed",
-                classes=((6, None), (64, 4096)),
+                classes=classes_for(RES, RES, st.capacity),
                 max_tiles_per_gaussian=16, big_budget=1024, big_tiles=256,
             )
             return out["render"].mean() + out["alpha"].mean()
@@ -200,6 +202,10 @@ def bench_sds_step():
 
 
 def main():
+    from garmentdreamer_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

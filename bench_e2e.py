@@ -46,6 +46,12 @@ def _write_template(path: str):
 
 
 def main():
+    # persistent compile cache: run this harness twice for cold vs warm
+    # totals (VERDICT r2 next-2); GD_COMPILE_CACHE=off restores cold behavior
+    from garmentdreamer_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default=None)
     a = ap.parse_args()

@@ -39,6 +39,8 @@ __all__ = [
     "select_text_embeddings",
     "shifted_exponential_decay",
     "get_text_embeddings_perp_neg",
+    "get_debiased_prompt",
+    "make_bert_probe_fn",
 ]
 
 DIRECTION_NAMES = ("side", "front", "back", "overhead")
@@ -62,6 +64,10 @@ class PromptConfig:
     perp_neg_f_fsb: Tuple[float, float, float] = (1.0, 0.5, 0.967)
     perp_neg_f_fs: Tuple[float, float, float] = (4.0, 0.5, -2.426)
     perp_neg_f_sf: Tuple[float, float, float] = (4.0, 0.5, -2.426)
+    # BERT prompt debiasing (reference base.py:451-509; default off)
+    use_prompt_debiasing: bool = False
+    pretrained_model_name_or_path_prompt_debiasing: str = "bert-base-uncased"
+    prompt_debiasing_mask_ids: Optional[Tuple[int, ...]] = None
 
 
 class PromptEmbeddings(NamedTuple):
@@ -94,14 +100,95 @@ def view_direction_index(
     return idx
 
 
-def compose_view_prompts(cfg: PromptConfig) -> List[str]:
-    """The four positive prompts, wrapped with head/tail."""
-    p = cfg.prompt
-    if cfg.view_dependent_prompt_front:
-        vd = [f"side view of {p}", f"front view of {p}", f"backside view of {p}", f"overhead view of {p}"]
+def compose_view_prompts(
+    cfg: PromptConfig, probe_fn: Optional[Callable] = None
+) -> List[str]:
+    """The four positive prompts, wrapped with head/tail.
+
+    With ``cfg.use_prompt_debiasing`` (and a masked-LM ``probe_fn``), the
+    per-view base prompts are first debiased via
+    :func:`get_debiased_prompt` (reference base.py:309-318: the debiased
+    prompt feeds each direction's template before head/tail wrapping)."""
+    if cfg.use_prompt_debiasing:
+        if probe_fn is None:
+            probe_fn = make_bert_probe_fn(
+                cfg.pretrained_model_name_or_path_prompt_debiasing
+            )
+        base = get_debiased_prompt(
+            cfg.prompt, probe_fn, mask_ids=cfg.prompt_debiasing_mask_ids
+        )
     else:
-        vd = [f"{p}, side view", f"{p}, front view", f"{p}, back view", f"{p}, overhead view"]
+        base = [cfg.prompt] * 4
+    if cfg.view_dependent_prompt_front:
+        templates = [
+            "side view of {}", "front view of {}",
+            "backside view of {}", "overhead view of {}",
+        ]
+    else:
+        templates = [
+            "{}, side view", "{}, front view", "{}, back view", "{}, overhead view",
+        ]
+    vd = [t.format(p) for t, p in zip(templates, base)]
     return [cfg.positive_prompt_head + v + ". " + cfg.positive_prompt_tail for v in vd]
+
+
+def get_debiased_prompt(
+    prompt: str,
+    probe_fn: Callable,
+    mask_ids: Optional[Sequence[int]] = None,
+) -> List[str]:
+    """Debiased per-view prompts via masked-LM pointwise mutual information
+    (reference: prompt_processors/base.py:451-509).
+
+    ``probe_fn(prompt) -> (4,)`` returns the masked-LM's normalized
+    probabilities of the four view words (side/front/back/overhead) at the
+    [MASK] in "This image is depicting a [MASK] view of {prompt}". For each
+    candidate word position, the word is dropped from view ``i``'s prompt
+    when the PMI ratio ``full / lerp(part, full, 0.5)`` falls below 0.95 --
+    words that bias the view distribution (e.g. "front" inside the prompt)
+    get removed for the views they fight against."""
+    words = prompt.split(" ")
+    prompts = [list(words) for _ in range(4)]
+    full_probe = np.asarray(probe_fn(prompt), np.float64)
+    ids = list(mask_ids) if mask_ids is not None else list(range(len(words)))
+    for idx in ids:
+        part = " ".join(words[:idx] + words[idx + 1 :])
+        part_probe = np.asarray(probe_fn(part), np.float64)
+        # torch.lerp(part, full, 0.5) = part + 0.5 * (full - part)
+        pmi = full_probe / (part_probe + 0.5 * (full_probe - part_probe))
+        for i in range(pmi.shape[0]):
+            if pmi[i] < 0.95:
+                prompts[i][idx] = ""
+    return [" ".join(w for w in p if w) for p in prompts]
+
+
+def make_bert_probe_fn(model_path: str = "bert-base-uncased") -> Callable:
+    """Masked-LM probe over the four view words via transformers
+    BertForMaskedLM on host CPU (the reference's debiasing backbone,
+    base.py:453-482). Requires a local checkpoint in offline environments."""
+
+    def probe(prompt: str) -> np.ndarray:
+        import torch
+        from transformers import AutoTokenizer, BertForMaskedLM
+
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+        model = BertForMaskedLM.from_pretrained(model_path)
+        views = " ".join(DIRECTION_NAMES)
+        view_ids = tokenizer(views, return_tensors="pt").input_ids[0][1:5]
+        text = f"This image is depicting a [MASK] view of {prompt}"
+        tokens = tokenizer(
+            text, padding="max_length", truncation=True,
+            add_special_tokens=True, return_tensors="pt",
+        )
+        mask_idx = torch.where(tokens.input_ids == tokenizer.mask_token_id)[1]
+        with torch.no_grad():
+            logits = model(**tokens).logits
+        p = torch.softmax(logits[0, mask_idx], dim=-1)[0, view_ids]
+        out = (p / p.sum()).numpy()
+        del model, tokenizer
+        return out
+
+    return probe
 
 
 class PromptProcessor:
@@ -112,14 +199,25 @@ class PromptProcessor:
     tests / weight-free environments.
     """
 
-    def __init__(self, cfg: PromptConfig, encode_fn: Optional[Callable] = None):
+    def __init__(
+        self,
+        cfg: PromptConfig,
+        encode_fn: Optional[Callable] = None,
+        probe_fn: Optional[Callable] = None,
+    ):
         self.cfg = cfg
         self._encode_fn = encode_fn
+        self._probe_fn = probe_fn  # masked-LM probe for prompt debiasing
         self.embeddings = self._load_or_compute()
 
     # -- cache ----------------------------------------------------------------
     def _cache_key(self) -> str:
-        payload = f"{self.cfg.pretrained_model_name_or_path}::{self.cfg.prompt}::{self.cfg.negative_prompt}::{self.cfg.positive_prompt_head}::{self.cfg.positive_prompt_tail}"
+        payload = (
+            f"{self.cfg.pretrained_model_name_or_path}::{self.cfg.prompt}::"
+            f"{self.cfg.negative_prompt}::{self.cfg.positive_prompt_head}::"
+            f"{self.cfg.positive_prompt_tail}"
+            f"::debias={self.cfg.use_prompt_debiasing}"
+        )
         return hashlib.md5(payload.encode()).hexdigest()
 
     def _cache_path(self) -> str:
@@ -139,7 +237,7 @@ class PromptProcessor:
             raise RuntimeError(
                 f"no cached embeddings at {path} and no encode_fn provided"
             )
-        prompts_vd = compose_view_prompts(self.cfg)
+        prompts_vd = compose_view_prompts(self.cfg, probe_fn=self._probe_fn)
         plain = self.cfg.positive_prompt_head + self.cfg.prompt + ". " + self.cfg.positive_prompt_tail
         all_prompts = prompts_vd + [self.cfg.negative_prompt] * 4 + [plain, self.cfg.negative_prompt]
         emb = np.asarray(self._encode_fn(all_prompts), np.float32)

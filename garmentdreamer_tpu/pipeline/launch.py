@@ -70,6 +70,11 @@ def generate_3dgs(
         **{k: v for k, v in sys_over.items() if k in gcfg_fields}
     )
 
+    # Perp-Neg + SJC activation paths (VERDICT r2 next-5): YAML keys
+    # system.use_perp_neg / system.use_sjc (+ optional perp_neg_f_* decay
+    # coefficient lists), matching the reference's cfg fields
+    # (stable_diffusion_guidance.py:38-39, prompt_processors/base.py:195-206)
+    perp_keys = ("perp_neg_f_sb", "perp_neg_f_fsb", "perp_neg_f_fs", "perp_neg_f_sf")
     stack = build_guidance_stack(
         prompt,
         scale=scale,
@@ -77,9 +82,14 @@ def generate_3dgs(
         guidance_scale=float(sys_over.get("guidance_scale", 100.0)),
         with_vsd=False,
         cache_dir=os.path.join(save_dir, ".cache"),
+        use_sjc=bool(sys_over.get("use_sjc", False)),
+        sjc_var_red=bool(sys_over.get("sjc_var_red", True)),
+        use_perp_neg=bool(sys_over.get("use_perp_neg", False)),
+        prompt_overrides={k: sys_over[k] for k in perp_keys if k in sys_over},
     )
     system = GaussianDreamerSystem(
-        gcfg, dcfg, guidance=stack.sds, prompt_embeddings=stack.prompt_embeddings
+        gcfg, dcfg, guidance=stack.sds, prompt_embeddings=stack.prompt_embeddings,
+        prompt_cfg=stack.prompt_cfg,
     )
     # run-reproducibility snapshots + live progress file (the reference's
     # CodeSnapshot/ConfigSnapshot/Progress callbacks, callbacks.py:60-158)
@@ -191,12 +201,25 @@ def reconstruction(
                 lambda p, x, t, c, e: unet.apply(p, x, t, c, e), ifp,
             )
             D = ucfg.cross_attention_dim
-            # direction-indexed embeddings (front/side/back) from the prompt
-            # cache pathway; pseudo fallback mirrors stage-1 behavior
-            text3 = jnp.stack([stack.prompt_embeddings.text] * 3) if (
-                stack.prompt_embeddings.text.shape[-1] == D
-            ) else jnp.ones((3, 77, D)) * 0.01
-            uncond = jnp.zeros((77, D))
+            pe = stack.prompt_embeddings
+            if pe.text_vd.shape[-1] == D:
+                # DISTINCT view-direction embeddings: the reference embeds
+                # separate front/side/back prompts for IF2
+                # (netf/guidance/if2_utils.py:140-145); text_vd rows are
+                # [side, front, back, overhead] -> reorder to front/side/back
+                text3 = pe.text_vd[jnp.asarray([1, 0, 2])]
+                uncond = pe.uncond_vd[1]
+            else:
+                import warnings
+
+                warnings.warn(
+                    "IF2 guidance: prompt embedding dim "
+                    f"{pe.text_vd.shape[-1]} != UNet cross_attention_dim {D}; "
+                    "substituting constant placeholder embeddings -- IF2 text "
+                    "conditioning is INACTIVE for this run"
+                )
+                text3 = jnp.ones((3, 77, D)) * 0.01
+                uncond = jnp.zeros((77, D))
             trainer.train_if2(g, text3, uncond)
         else:
             trainer.train_vsd()
@@ -206,6 +229,12 @@ def reconstruction(
 
 def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
     from garmentdreamer_tpu.deformer import DeformerConfig, deformation
+
+    # persistent compile cache: warm re-runs skip the minutes-per-program
+    # remote compiles (core/compile_cache.py; VERDICT r2 next-2)
+    from garmentdreamer_tpu.core.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     t_start = time.time()
     save_dir = args.save_dir or _trial_dir(args.output_folder, args.prompt)

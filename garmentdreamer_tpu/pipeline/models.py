@@ -67,6 +67,7 @@ class GuidanceStack:
     q_params: Optional[Dict[str, Any]]
     latent_size: int
     image_size: int
+    prompt_cfg: Optional[PromptConfig] = None  # carries use_perp_neg + decay
 
 
 def build_guidance_stack(
@@ -80,7 +81,17 @@ def build_guidance_stack(
     vsd_negative_prompt: Optional[str] = None,
     cache_dir: Optional[str] = None,
     seed: int = 0,
+    use_sjc: bool = False,
+    sjc_var_red: bool = True,
+    use_perp_neg: bool = False,
+    prompt_overrides: Optional[Dict[str, Any]] = None,
 ) -> GuidanceStack:
+    """``use_sjc`` activates Score-Jacobian-Chaining noising in the SDS
+    guidance (reference cfg field stable_diffusion_guidance.py:38-39);
+    ``use_perp_neg`` activates the Perp-Neg 4-way-batch path via the returned
+    ``prompt_cfg`` (reference base.py:195-206). ``prompt_overrides`` passes
+    any further PromptConfig fields (e.g. perp_neg_f_sb decay coefficients)
+    straight through."""
     if scale == "sd21":
         # bf16 compute (f32 params): the reference runs fp16-mixed
         # (gaussiandreamer-sd.yaml precision: 16-mixed); bf16 is the TPU MXU's
@@ -155,12 +166,16 @@ def build_guidance_stack(
         negative_prompt=negative_prompt,
         pretrained_model_name_or_path=model_tag,
         cache_dir=cache_dir or ".gd_cache/text_embeddings",
+        use_perp_neg=use_perp_neg,
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in (prompt_overrides or {}).items()},
     )
     prompt_embeddings = PromptProcessor(pcfg, encode_fn=encode_fn)()
 
     sds = SDSGuidance(
         SDSConfig(
-            guidance_scale=guidance_scale, latent_size=latent, image_size=img
+            guidance_scale=guidance_scale, latent_size=latent, image_size=img,
+            use_sjc=use_sjc, var_red=sjc_var_red,
         ),
         unet_apply, unet_params, vae_encode, vae_params,
     )
@@ -202,4 +217,5 @@ def build_guidance_stack(
         q_params=q_params,
         latent_size=latent,
         image_size=img,
+        prompt_cfg=pcfg,
     )

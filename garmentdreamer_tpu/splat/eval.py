@@ -34,24 +34,37 @@ def render_set(
     """Render every view -> (N, H, W, 3); optionally write renders/ + gt/
     pngs (render.py render_set layout)."""
     from garmentdreamer_tpu.core import io as gio
+    from garmentdreamer_tpu.splat.budgets import classes_for, describe
 
     stack = camera_stack(cams)
     bg_arr = jnp.asarray(bg, jnp.float32)
     H, W = cams[0].height, cams[0].width
+    classes = classes_for(H, W, st.capacity)
 
     @jax.jit
     def one(params, stats, cc):
         s = st.replace(params=params, stats=stats)
-        return render_view(
+        out = render_view(
             s, cc, bg_arr, H, W, max_per_tile=max_per_tile,
-            fast=True, payload_dtype="packed",
-            classes=((8, None), (64, 4096)),
-        )["render"]
+            fast=True, payload_dtype="packed", classes=classes,
+        )
+        return out["render"], out["n_dropped"]
 
     outs = []
+    total_dropped = 0
     for i in range(len(cams)):
         cc = {k: jnp.asarray(v[i]) for k, v in stack.items()}
-        outs.append(np.asarray(one(st.params, st.stats, cc)))
+        img, nd = one(st.params, st.stats, cc)
+        outs.append(np.asarray(img))
+        total_dropped += int(nd)
+    if total_dropped:
+        # metrics below would silently score truncated renders otherwise
+        print(
+            f"[render_set] WARNING: {total_dropped} instances dropped at "
+            f"{describe(classes, st.capacity)}; metrics are computed on "
+            "truncated renders -- raise the budgets",
+            flush=True,
+        )
     renders = np.stack(outs)
     if out_dir is not None:
         os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
@@ -105,7 +118,21 @@ def full_eval(
 
     pts = scene.points if scene.points is not None else np.random.RandomState(0).rand(10000, 3).astype(np.float32) * 2 - 1
     cols = scene.colors if scene.colors is not None else np.full_like(pts, 0.5)
+    # the packed fast path's index packing supports < 2^20 gaussians
+    # (rasterize.py _expand_classes); real COLMAP captures can exceed
+    # 262k sparse points, so clamp the capacity and subsample the init cloud
     cap = 1 << int(np.ceil(np.log2(max(len(pts) * 4, 1024))))
+    MAX_CAP = 1 << 19
+    if cap > MAX_CAP:
+        cap = MAX_CAP
+        if len(pts) > MAX_CAP:
+            print(
+                f"[full_eval] init cloud has {len(pts)} points; subsampling "
+                f"to {MAX_CAP} (packed-rasterizer capacity limit)",
+                flush=True,
+            )
+            sel = np.random.RandomState(0).choice(len(pts), MAX_CAP, replace=False)
+            pts, cols = pts[sel], cols[sel]
     st = state_mod.create_from_pcd(pts, cols, capacity=cap)
 
     cfg = fit_cfg or PhotometricConfig(iterations=iterations)

@@ -41,7 +41,7 @@ ALPHA_MAX = 0.99
 ALIGN = 128  # lane alignment quantum for the HBM window start
 TPB = 8  # tiles per grid program
 
-__all__ = ["composite_tiles_pallas", "TPB"]
+__all__ = ["composite_tiles_pallas", "composite_grad_tiles_pallas", "TPB"]
 
 
 def _unpack2(block_u32):
@@ -178,6 +178,313 @@ def _kernel(starts_ref, attrs_ref, bg_ref, out_ref, scratch, sem, *, W, K,
         return 0
 
     jax.lax.fori_loop(0, tpb, tile_loop, 0)
+
+
+def _grad_kernel(starts_ref, win_base_ref, attrs_ref, ct_ref, bg_ref, out_ref,
+                 scratch, out_scratch, sem, out_sem, *, K, tiles_x, tpb,
+                 max_p0, n_tiles, n_win_max):
+    """Backward of the packed compositor (the CUDA BACKWARD::render analog,
+    reference backward.cu:416-598, re-designed for TPU).
+
+    CUDA re-rasterizes BACK-to-front using saved per-pixel state and
+    atomicAdds per-Gaussian gradients. Here each tile runs two FORWARD
+    window scans instead (no atomics, no saved state):
+
+    * pass 1 accumulates the total weighted-cotangent sum
+      ``S_total = sum_i w_i u_i`` (with ``u_i = <dC, c_i> + dD * d_i``) and
+      the final frozen transmittance;
+    * pass 2 recomputes each window's alpha/weights, forms the inclusive
+      prefix ``P_i`` with an MXU triangular matmul, and evaluates the
+      closed-form
+      ``dL/dalpha_i = contrib_i * (T_i u_i - (S_total - P_i + T_N b)/(1-alpha_i))``
+      (the suffix sum a back-to-front scan would carry, expressed as
+      total-minus-prefix so both passes stream front-to-back), then chains
+      through the Gaussian kernel to per-instance gradients of
+      [mean2d, conic, color, opacity, depth].
+
+    Gradient rows are written per (tile, window) SLOT (slot index from the
+    prefetched ``win_base`` cumsum); slot windows start at the 128-aligned
+    ``align_down(tile_start)`` so every DMA is aligned and no two tiles ever
+    write the same slot. Rows outside the tile's true [s, e) range emit
+    zeros; the XLA wrapper routes rows back to sorted order with one
+    position-keyed sort.
+    """
+    blk = pl.program_id(0)
+    t_base = blk * tpb
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri_incl = (col <= row).astype(jnp.bfloat16)
+    bg = bg_ref[0, :]  # (3,)
+
+    def in_dma(slot, p0):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(pl.multiple_of(jnp.minimum(p0, max_p0), ALIGN), K)],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    def tile_loop(i, _):
+        t = t_base + i
+        s = starts_ref[t]
+        e = starts_ref[t + 1]
+        off0 = (s // ALIGN) * ALIGN
+        n_win = jnp.where(e > s, (e - off0 + K - 1) // K, 0)
+        slot0 = win_base_ref[t]
+
+        ct_r = ct_ref[i, 0:1, :]  # (1, PIX)
+        ct_g = ct_ref[i, 1:2, :]
+        ct_b = ct_ref[i, 2:3, :]
+        ct_a = ct_ref[i, 3:4, :]
+        ct_d = ct_ref[i, 4:5, :]
+        b_px = bg[0] * ct_r + bg[1] * ct_g + bg[2] * ct_b - ct_a  # dL/dT_N
+
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+        # packed payloads store tile-relative means -> tile-local pixels
+        px = (lin % TILE).astype(jnp.float32)
+        py = (lin // TILE).astype(jnp.float32)
+
+        def unpack_window(slot, p0):
+            raw = scratch[slot]  # (8, K) u32
+            hi2, lo2 = _unpack2(raw)
+            pos = p0 + jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+            in_range = ((pos >= s) & (pos < e)).astype(jnp.float32)
+            mx_v, my_v = hi2[0, :], lo2[0, :]
+            ca_v, cb_v = hi2[1, :], lo2[1, :]
+            cc_v, op_v = hi2[2, :], lo2[2, :]
+            r_v, g_v = hi2[3, :], lo2[3, :]
+            b_v, dp_v = hi2[4, :], lo2[4, :]
+            dx = px - mx_v[:, None]  # (K, PIX)
+            dy = py - my_v[:, None]
+            power = (
+                -0.5 * (ca_v[:, None] * dx * dx + cc_v[:, None] * dy * dy)
+                - cb_v[:, None] * dx * dy
+            )
+            op = op_v[:, None] * in_range
+            ge = jnp.exp(jnp.minimum(power, 0.0))
+            a0 = op * ge
+            valid = ((power <= 0.0) & (a0 >= ALPHA_MIN)).astype(jnp.float32)
+            alpha = jnp.minimum(a0 * valid, ALPHA_MAX)
+            u = (
+                r_v[:, None] * ct_r + g_v[:, None] * ct_g
+                + b_v[:, None] * ct_b + dp_v[:, None] * ct_d
+            )
+            return (dx, dy, power, op, ge, a0, valid, alpha, u,
+                    (ca_v, cb_v, cc_v, r_v, g_v, b_v, dp_v))
+
+        # ---- pass 1: S_total, final transmittances --------------------
+        @pl.when(n_win > 0)
+        def _():
+            in_dma(0, off0).start()
+
+        def pass1(w, carry):
+            tlog_true, tlog_frozen, s_tot = carry
+            slot = w % 2
+            p0 = off0 + w * K
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                in_dma((w + 1) % 2, p0 + K).start()
+
+            in_dma(slot, p0).wait()
+            (dx, dy, power, op, ge, a0, valid, alpha, u, _av) = unpack_window(slot, p0)
+            logs = jnp.log1p(-alpha)
+            incl = jnp.dot(tri_incl, logs.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            t_after = jnp.exp(tlog_true + incl)
+            t_prefix = jnp.exp(tlog_true + incl - logs)
+            contrib = (t_after >= T_EPS).astype(jnp.float32)
+            wgt = alpha * t_prefix * contrib
+            s_tot = s_tot + jnp.sum(wgt * u, axis=0, keepdims=True)
+            tlog_true = tlog_true + jnp.sum(logs, axis=0, keepdims=True)
+            tlog_frozen = tlog_frozen + jnp.sum(logs * contrib, axis=0, keepdims=True)
+            return tlog_true, tlog_frozen, s_tot
+
+        zero1 = jnp.zeros((1, PIX), jnp.float32)
+        _, tlog_frozen, s_tot = jax.lax.fori_loop(
+            0, n_win, pass1, (zero1, zero1, zero1)
+        )
+        t_fro = jnp.exp(tlog_frozen)  # (1, PIX) final frozen transmittance
+
+        # ---- pass 2: gradients ----------------------------------------
+        @pl.when(n_win > 0)
+        def _():
+            in_dma(0, off0).start()
+
+        def pass2(w, carry):
+            tlog_true, p_carry = carry
+            slot = w % 2
+            p0 = off0 + w * K
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                in_dma((w + 1) % 2, p0 + K).start()
+
+            in_dma(slot, p0).wait()
+            (dx, dy, power, op, ge, a0, valid, alpha, u,
+             (ca_v, cb_v, cc_v, r_v, g_v, b_v, dp_v)) = unpack_window(slot, p0)
+            logs = jnp.log1p(-alpha)
+            incl = jnp.dot(tri_incl, logs.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            t_after = jnp.exp(tlog_true + incl)
+            t_prefix = jnp.exp(tlog_true + incl - logs)
+            contrib = (t_after >= T_EPS).astype(jnp.float32)
+            wgt = alpha * t_prefix * contrib
+
+            wu = wgt * u
+            p_inc = (
+                jnp.dot(tri_incl, wu.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                + p_carry
+            )
+            s_after = s_tot - p_inc
+            dalpha = contrib * (
+                t_prefix * u - (s_after + t_fro * b_px) / (1.0 - alpha)
+            )
+            # gates: ceiling clamp (min with 0.99) and the validity mask
+            gate = valid * (a0 * valid <= ALPHA_MAX).astype(jnp.float32)
+            d_a0 = dalpha * gate
+            dpow = d_a0 * op * ge  # d/dpower through exp(min(power, 0))
+
+            def rsum(x):  # (K, PIX) -> (K,)
+                return jnp.sum(x, axis=1)
+
+            g_mx = rsum(dpow * (ca_v[:, None] * dx + cb_v[:, None] * dy))
+            g_my = rsum(dpow * (cc_v[:, None] * dy + cb_v[:, None] * dx))
+            g_ca = rsum(dpow * (-0.5 * dx * dx))
+            g_cb = rsum(dpow * (-dx * dy))
+            g_cc = rsum(dpow * (-0.5 * dy * dy))
+            g_r = rsum(wgt * ct_r)
+            g_g = rsum(wgt * ct_g)
+            g_b = rsum(wgt * ct_b)
+            g_op = rsum(d_a0 * ge)
+            g_dp = rsum(wgt * ct_d)
+
+            oslot = w % 2
+
+            @pl.when(w >= 2)
+            def _():
+                out_dma(oslot, slot0 + w - 2).wait()
+
+            out_scratch[oslot, 0, :] = g_mx
+            out_scratch[oslot, 1, :] = g_my
+            out_scratch[oslot, 2, :] = g_ca
+            out_scratch[oslot, 3, :] = g_cb
+            out_scratch[oslot, 4, :] = g_cc
+            out_scratch[oslot, 5, :] = g_r
+            out_scratch[oslot, 6, :] = g_g
+            out_scratch[oslot, 7, :] = g_b
+            out_scratch[oslot, 8, :] = g_op
+            out_scratch[oslot, 9, :] = g_dp
+            out_dma(oslot, slot0 + w).start()
+
+            tlog_true = tlog_true + jnp.sum(logs, axis=0, keepdims=True)
+            p_carry = p_carry + jnp.sum(wu, axis=0, keepdims=True)
+            return tlog_true, p_carry
+
+        def out_dma(oslot, slot_idx):
+            return pltpu.make_async_copy(
+                out_scratch.at[oslot], out_ref.at[slot_idx], out_sem.at[oslot]
+            )
+
+        jax.lax.fori_loop(0, n_win, pass2, (zero1, zero1))
+        # drain the last (up to) two in-flight output copies
+        @pl.when(n_win >= 2)
+        def _():
+            out_dma((n_win - 2) % 2, slot0 + n_win - 2).wait()
+
+        @pl.when(n_win >= 1)
+        def _():
+            out_dma((n_win - 1) % 2, slot0 + n_win - 1).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, tpb, tile_loop, 0)
+
+    # ---- zero-fill the unused slot tail ------------------------------
+    # Slots in [win_base[n_tiles], n_win_max) belong to no tile; the XLA
+    # routing sort relies on them carrying zeros (their sentinel position
+    # keys land them in the uncovered-position region). Strided partition
+    # over grid programs; ~10 KB copies, serialized waits are negligible.
+    n_used = win_base_ref[n_tiles]
+    n_progs = pl.num_programs(0)
+    out_scratch[0, :, :] = jnp.zeros((10, K), jnp.float32)
+
+    def zfill(j, _):
+        slot_idx = n_used + blk + j * n_progs
+        cp = pltpu.make_async_copy(
+            out_scratch.at[0], out_ref.at[slot_idx], out_sem.at[0]
+        )
+        cp.start()
+        cp.wait()
+        return 0
+
+    n_z = (n_win_max - n_used - blk + n_progs - 1) // n_progs
+    jax.lax.fori_loop(0, jnp.maximum(n_z, 0), zfill, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "tiles_x", "K", "n_win_max")
+)
+def composite_grad_tiles_pallas(
+    starts: jnp.ndarray,  # (T+1,) int32
+    win_base: jnp.ndarray,  # (T+1,) int32 cumulative window-slot offsets
+    inst_attrs_t: jnp.ndarray,  # (5+, L) u32 packed (extra rows ignored)
+    ct_tiles: jnp.ndarray,  # (T, 5, PIX) f32 cotangents of [r,g,b,a,d]
+    bg: jnp.ndarray,  # (3,)
+    n_tiles: int,
+    tiles_x: int,
+    K: int = 256,
+    n_win_max: int = 0,
+) -> jnp.ndarray:
+    """-> (n_win_max, 10, K) f32 per-slot gradient rows
+    [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddp].
+
+    Slot ``win_base[t] + w`` holds window ``w`` of tile ``t``, whose rows map
+    to sorted positions ``align_down(starts[t]) + w*K + [0, K)``; rows outside
+    the tile's [starts[t], starts[t+1]) range are zero. Slots beyond
+    ``win_base[n_tiles]`` stay at their zero initialization (the output is
+    zero-aliased), so the caller's position-keyed routing sort sees zeros for
+    every uncovered position.
+    """
+    assert K % ALIGN == 0, "K must be a multiple of 128"
+    assert n_win_max > 0
+    tpb = next(d for d in (TPB, 4, 2, 1) if n_tiles % d == 0)
+    n_rows = 8
+    L = inst_attrs_t.shape[1]
+    pad_l = K + ((-L) % ALIGN)
+    inst_attrs_t = jnp.pad(
+        inst_attrs_t, ((0, n_rows - inst_attrs_t.shape[0]), (0, pad_l))
+    )
+    L_pad = L + pad_l
+    max_p0 = ((L_pad - K) // ALIGN) * ALIGN
+
+    kernel = functools.partial(
+        _grad_kernel, K=K, tiles_x=tiles_x, tpb=tpb, max_p0=max_p0,
+        n_tiles=n_tiles, n_win_max=n_win_max,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, win_base
+        grid=(n_tiles // tpb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # inst_attrs stays in HBM
+            pl.BlockSpec((tpb, 5, PIX), lambda b, *_: (b, 0, 0)),  # ct tiles
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_rows, K), jnp.uint32),  # double-buffered windows
+            pltpu.VMEM((2, 10, K), jnp.float32),  # double-buffered grad out
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_win_max, 10, K), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(starts, win_base, inst_attrs_t, ct_tiles, bg[None, :])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "tiles_x", "K"))

@@ -49,7 +49,12 @@ __all__ = [
     "rasterize_tiled",
     "rasterize_tiled_fast",
     "rasterize_tiled_packed",
+    "rasterize_packed_diff",
     "rasterize_hybrid",
+    "packed_forward_parts",
+    "packed_backward_cols",
+    "image_to_tiles",
+    "tiles_to_image",
     "TILE",
 ]
 
@@ -186,16 +191,19 @@ def rasterize_tiled(
     big_budget: int = 0,
     big_tiles: int = 64,
 ):
-    """Render (H,W,3) color + (H,W) alpha + (H,W) expected depth.
+    """Render -> (color (H,W,3), alpha (H,W), depth (H,W), n_dropped,
+    n_harmful_px).
 
     ``max_per_tile`` caps the per-tile instance list (this differentiable
     path needs a static window for its VJP). Deeper instances are dropped;
     for dense LOW-opacity stacks that loses real signal (measured up to 0.4
-    rgb error on a 100k cloud at init opacity 0.1), so every pixel whose
+    rgb error on a 100k cloud at init opacity 0.1), so every PIXEL whose
     window ended while transmittance was still above the 1e-4 early-exit
-    threshold is counted into ``n_dropped`` -- raise ``max_per_tile`` when
-    the canary fires. The packed Pallas forward has NO such cap (it chains
-    windows like the CUDA kernel).
+    threshold is counted into ``n_harmful_px`` -- raise ``max_per_tile``
+    when that canary fires. ``n_dropped`` counts INSTANCES lost to the
+    expansion caps; the two are separate outputs because they count
+    different things (ADVICE r2). The packed Pallas forward has NO depth cap
+    (it chains windows like the CUDA kernel).
     """
     if height % TILE or width % TILE:
         raise ValueError(f"height/width must be multiples of {TILE}")
@@ -243,7 +251,11 @@ def rasterize_tiled(
         s = starts[t]
         e = starts[t + 1]
         s_c = jnp.clip(s, 0, max_start)
-        in_range = (s_c + jnp.arange(K, dtype=jnp.int32)) < e
+        # lower bound vs the UNCLIPPED s: when the slice start was clamped
+        # (tail tiles of near-full instance buffers) the leading rows belong
+        # to earlier tiles and must not composite here
+        idx = s_c + jnp.arange(K, dtype=jnp.int32)
+        in_range = (idx >= s) & (idx < e)
         rows = jax.lax.dynamic_slice_in_dim(inst_attrs, s_c, K)  # (K, 10)
 
         m = rows[:, 0:2]
@@ -260,8 +272,10 @@ def rasterize_tiled(
         color, alpha, depth = composite_depth_ordered(pix, m, cn, cl, op, dp, bg)
         # transmittance-aware truncation canary: pixels whose window ended
         # (e beyond the K slots) while T = 1-alpha was still above the CUDA
-        # early-exit threshold -- ONLY those pixels lost visible content
-        truncated = (e - s_c) > K
+        # early-exit threshold -- ONLY those pixels lost visible content.
+        # Truncation is judged from the UNCLIPPED s: a clamp at max_start
+        # shrinks the usable window but does not mean the list overflowed
+        truncated = (e - s) > K
         harmful = jnp.sum(
             jnp.where(truncated & ((1.0 - alpha) > 1e-4), 1, 0)
         ).astype(jnp.int32)
@@ -291,7 +305,7 @@ def rasterize_tiled(
     d = assemble(depth[..., None], 1)[..., 0]
     # count padded duplicate tiles only once
     n_harmful = jnp.sum(harmful.reshape(-1)[:n_tiles])
-    return img, a, d, n_dropped + n_harmful
+    return img, a, d, n_dropped, n_harmful
 
 
 def _slot_tiles(x0, y0, w, tiles_x, R):
@@ -470,7 +484,11 @@ def _expand_classes(
     for ci, (R, budget) in enumerate(classes):
         last = ci == len(classes) - 1
         if ci == 0:
-            member = count <= R
+            # single-class configuration: class 0 must keep EVERY gaussian
+            # (first R tiles, remainder counted dropped -- the
+            # _expand_operands big_budget=0 semantics); with later classes
+            # it holds only the small ones
+            member = jnp.ones_like(count, bool) if last else count <= R
             sel = idx
             scount = jnp.where(member, count, 0)
             sx0, sy0, sw = x0, y0, w
@@ -708,7 +726,7 @@ def _hybrid_bwd(height, width, max_tiles_per_gaussian, max_per_tile,
     ct_color, ct_alpha, ct_depth, _ = ct  # n_dropped is int: no cotangent
 
     def f(p, b):
-        c, a, d, _nd = rasterize_tiled(
+        c, a, d, _nd, _nh = rasterize_tiled(
             p, height, width, b,
             max_tiles_per_gaussian=max_tiles_per_gaussian, max_per_tile=max_per_tile,
             big_budget=big_budget, big_tiles=big_tiles,
@@ -721,3 +739,204 @@ def _hybrid_bwd(height, width, max_tiles_per_gaussian, max_per_tile,
 
 
 rasterize_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-Pallas differentiable packed path (round 3)
+#
+# The CUDA rasterizer is one fwd/bwd kernel pair (forward.cu:261-381 /
+# backward.cu:416-598). Rounds 1-2 paired the Pallas forward with the XLA
+# tile path's autodiff backward -- exact but slow (measured 522 ms of the
+# 975 ms SDS step re-rendering B=4@512^2 under remat) and depth-capped. This
+# path closes the pair: the packed Pallas forward plus a Pallas gradient
+# kernel (pallas_composite._grad_kernel) that window-chains like the forward
+# -- NO depth cap in either direction -- with cotangents routed back to the
+# expansion layout by two payload sorts (position-keyed, then the carried
+# original index; gathers at this scale lower to scalar loops, sorts don't).
+# ---------------------------------------------------------------------------
+
+GRAD_WINDOW = 256  # backward kernel window size (128-multiple)
+
+
+def tiles_to_image(out_tiles: jnp.ndarray, height: int, width: int):
+    """(T, 5, 256) kernel layout -> ((H,W,3) rgb, (H,W) alpha, (H,W) depth)."""
+    tiles_x = width // TILE
+    tiles_y = height // TILE
+    x = out_tiles.reshape(tiles_y, tiles_x, 5, TILE, TILE)
+    x = jnp.transpose(x, (0, 3, 1, 4, 2)).reshape(height, width, 5)
+    return x[..., 0:3], x[..., 3], x[..., 4]
+
+
+def image_to_tiles(ct_rgb: jnp.ndarray, ct_alpha: jnp.ndarray,
+                   ct_depth: jnp.ndarray, height: int, width: int):
+    """Inverse of :func:`tiles_to_image` for cotangents -> (T, 5, 256)."""
+    tiles_x = width // TILE
+    tiles_y = height // TILE
+    x = jnp.concatenate(
+        [ct_rgb, ct_alpha[..., None], ct_depth[..., None]], axis=-1
+    )  # (H, W, 5)
+    x = x.reshape(tiles_y, TILE, tiles_x, TILE, 5)
+    return jnp.transpose(x, (0, 2, 4, 1, 3)).reshape(
+        tiles_y * tiles_x, 5, TILE * TILE
+    )
+
+
+def packed_forward_parts(tile_flat, cols, bg, height: int, width: int,
+                         max_per_tile: int):
+    """Pack + (tile|depth)-key sort (carrying the original row index) + the
+    Pallas forward compositor.
+
+    -> (out_tiles (T,5,256), rows5 (5,L) u32, idx_sorted (L,) i32,
+       starts (T+1,) i32). ``rows5``/``idx_sorted``/``starts`` are the
+    residuals the Pallas backward needs -- they can cross a jit-program
+    boundary, so the training step never re-renders for its VJP.
+    """
+    from garmentdreamer_tpu.splat.pallas_composite import composite_tiles_pallas
+
+    tiles_x = width // TILE
+    n_tiles = (height // TILE) * tiles_x
+    K = max(128, -(-max_per_tile // 128) * 128)
+    L = tile_flat.shape[0]
+
+    depths_sg = jax.lax.stop_gradient(cols[9])
+    mx_rel = cols[0] - (tile_flat % tiles_x).astype(jnp.float32) * TILE
+    my_rel = cols[1] - (tile_flat // tiles_x).astype(jnp.float32) * TILE
+    packed = (
+        _pack2(mx_rel, my_rel),
+        _pack2(cols[2], cols[3]),
+        _pack2(cols[4], cols[8]),
+        _pack2(cols[5], cols[6]),
+        _pack2(cols[7], cols[9]),
+    )
+    tile_bits = int(n_tiles + 1).bit_length()
+    depth_bits_n = 32 - tile_bits
+    dbits = jnp.maximum(jax.lax.bitcast_convert_type(depths_sg, jnp.int32), 0)
+    key = (tile_flat.astype(jnp.uint32) << depth_bits_n) | (
+        (dbits >> (31 - depth_bits_n)).astype(jnp.uint32)
+    )
+    idx = jnp.arange(L, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort((key, *packed, idx), num_keys=1, is_stable=False)
+    tile_sorted = (sorted_ops[0] >> depth_bits_n).astype(jnp.int32)
+    rows5 = jnp.stack(sorted_ops[1:6], axis=0)  # (5, L) u32
+    idx_sorted = sorted_ops[6]  # (L,) i32
+    starts = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    out = composite_tiles_pallas(starts, rows5, bg, n_tiles, tiles_x, K=K)
+    return out, rows5, idx_sorted, starts
+
+
+def packed_backward_cols(rows5, idx_sorted, starts, ct_tiles, bg,
+                         height: int, width: int):
+    """Pallas gradient kernel + two routing sorts -> cotangents of the 10
+    expansion-layout columns (tuple of (L,) f32) and of ``bg``.
+
+    The kernel emits per-(tile, window)-slot gradient blocks; the first sort
+    (position-keyed) lays them out in sorted-array order with zeros at every
+    uncovered position, the second (keyed by the forward's carried original
+    index) restores the expansion layout -- the same one-extra-sort trick as
+    :func:`_payload_sort`'s VJP, measured ~30x cheaper than lax.sort's
+    gather-based backward.
+    """
+    from garmentdreamer_tpu.splat.pallas_composite import (
+        composite_grad_tiles_pallas,
+    )
+
+    tiles_x = width // TILE
+    n_tiles = (height // TILE) * tiles_x
+    L = idx_sorted.shape[0]
+    Kb = GRAD_WINDOW
+
+    s = starts[:-1]
+    e = starts[1:]
+    off0 = (s // 128) * 128
+    n_win = jnp.where(e > s, (e - off0 + Kb - 1) // Kb, 0).astype(jnp.int32)
+    win_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_win).astype(jnp.int32)]
+    )
+    n_win_max = L // Kb + 2 * n_tiles + 2
+
+    blocks = composite_grad_tiles_pallas(
+        starts, win_base, rows5, ct_tiles, bg, n_tiles, tiles_x,
+        K=Kb, n_win_max=n_win_max,
+    )  # (NW, 10, Kb)
+
+    # per-slot position keys (slot/tile bookkeeping is O(NW) ~ thousands,
+    # not O(L) -- the tiny gathers here are fine)
+    slots = jnp.arange(n_win_max, dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(win_base, slots, side="right").astype(jnp.int32) - 1,
+        0, n_tiles - 1,
+    )
+    w_of = slots - win_base[t_of]
+    p0 = off0[t_of] + w_of * Kb
+    pos = p0[:, None] + jnp.arange(Kb, dtype=jnp.int32)[None, :]
+    owned = (
+        (slots < win_base[n_tiles])[:, None]
+        & (pos >= s[t_of][:, None])
+        & (pos < e[t_of][:, None])
+    )
+    SENTINEL = jnp.int32(0x7FFFFFF0)
+    pos_key = jnp.where(owned, pos, SENTINEL).reshape(-1)
+
+    flat = jnp.transpose(blocks, (1, 0, 2)).reshape(10, -1)  # (10, NW*Kb)
+    sorted1 = jax.lax.sort(
+        (pos_key, *(flat[i] for i in range(10))), num_keys=1, is_stable=False
+    )
+    ct_sorted = tuple(c[:L] for c in sorted1[1:])  # sorted-array order
+
+    sorted2 = jax.lax.sort((idx_sorted, *ct_sorted), num_keys=1, is_stable=False)
+    return tuple(sorted2[1:])  # expansion order
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_core(tile_flat, cols, bg, height, width, max_per_tile):
+    """Differentiable (pack -> sort -> Pallas composite) with a Pallas VJP.
+    Returns the raw (T, 5, 256) tile layout."""
+    out, *_ = packed_forward_parts(tile_flat, cols, bg, height, width, max_per_tile)
+    return out
+
+
+def _packed_core_fwd_rule(tile_flat, cols, bg, height, width, max_per_tile):
+    out, rows5, idx_sorted, starts = packed_forward_parts(
+        tile_flat, cols, bg, height, width, max_per_tile
+    )
+    return out, (rows5, idx_sorted, starts, bg, out)
+
+
+def _packed_core_bwd_rule(height, width, max_per_tile, res, ct_tiles):
+    import numpy as _np
+
+    rows5, idx_sorted, starts, bg, out = res
+    ct_cols = packed_backward_cols(
+        rows5, idx_sorted, starts, ct_tiles, bg, height, width
+    )
+    # bg cotangent: d(rgb)/d(bg_c) = T_N per pixel; alpha_out = 1 - T_N
+    t_n = 1.0 - out[:, 3, :]  # (T, PIX)
+    dbg = jnp.stack(
+        [jnp.sum(ct_tiles[:, c, :] * t_n) for c in range(3)]
+    )
+    zero_tile = _np.zeros(idx_sorted.shape, jax.dtypes.float0)
+    return zero_tile, ct_cols, dbg
+
+
+_packed_core.defvjp(_packed_core_fwd_rule, _packed_core_bwd_rule)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "classes", "max_per_tile"))
+def rasterize_packed_diff(
+    proj: Projected,
+    height: int,
+    width: int,
+    bg: jnp.ndarray,
+    classes: Tuple[Tuple[int, Optional[int]], ...] = ((4, None), (16, 16384), (64, 1024)),
+    max_per_tile: int = 256,
+):
+    """Packed Pallas forward AND Pallas backward -- the CUDA fwd/bwd kernel
+    pair as one differentiable op, exact window chaining both directions
+    (no depth cap, unlike :func:`rasterize_hybrid`'s XLA backward).
+    -> (rgb, alpha, depth, n_dropped)."""
+    tile_flat, cols, n_dropped = _expand_classes(proj, height, width, classes)
+    out = _packed_core(tile_flat, cols, bg, height, width, max_per_tile)
+    rgb, alpha, depth = tiles_to_image(out, height, width)
+    return rgb, alpha, depth, n_dropped

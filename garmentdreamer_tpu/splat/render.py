@@ -90,8 +90,10 @@ def render_view(
             proj, height, width, bg, max_tiles_per_gaussian, max_per_tile,
             big_budget, big_tiles, payload_dtype, classes,
         )
+        # the Pallas forward chains windows: no depth cap, no harmful pixels
+        n_harmful = jnp.zeros((), jnp.int32)
     else:
-        color, alpha, depth, n_dropped = rasterize_tiled(
+        color, alpha, depth, n_dropped, n_harmful = rasterize_tiled(
             proj,
             height,
             width,
@@ -107,7 +109,8 @@ def render_view(
         "depth": depth,  # (H, W)
         "radii": proj.radii,  # (C,)
         "means2d": proj.means2d,
-        "n_dropped": n_dropped,
+        "n_dropped": n_dropped,  # instances lost to expansion caps
+        "n_harmful_px": n_harmful,  # pixels visibly truncated by the depth cap
     }
 
 

@@ -159,19 +159,28 @@ def _read_colmap_cameras_txt(path: str):
 def _read_colmap_images_txt(path: str):
     out = {}
     with open(path) as f:
-        # keep EMPTY lines: each image record is exactly two lines and the
-        # second (2D points) may be blank
         lines = [l for l in f if not l.startswith("#")]
-    for i in range(0, len(lines) - len(lines) % 2, 2):
+    # tolerant record iteration (COLMAP's own loader style): a record line
+    # has >= 10 fields (ID QW..QZ TX..TZ CAM_ID NAME...); its 2D-points line
+    # follows and is skipped -- but may be blank or absent on the final
+    # record. NAME may contain spaces: join the tail fields.
+    i = 0
+    while i < len(lines):
         el = lines[i].split()
-        if not el:
+        i += 1
+        if len(el) < 10:
             continue
-        out[int(el[0])] = (
-            np.array([float(x) for x in el[1:5]]),
-            np.array([float(x) for x in el[5:8]]),
-            int(el[8]),
-            el[9],
-        )
+        try:
+            rec = (
+                np.array([float(x) for x in el[1:5]]),
+                np.array([float(x) for x in el[5:8]]),
+                int(el[8]),
+                " ".join(el[9:]),
+            )
+            out[int(el[0])] = rec
+        except ValueError:
+            continue
+        i += 1  # skip the (possibly blank/absent) 2D-points line
     return out
 
 

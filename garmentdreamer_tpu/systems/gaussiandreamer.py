@@ -36,9 +36,15 @@ from garmentdreamer_tpu.core import cameras as core_cam
 from garmentdreamer_tpu.core import io as gio
 from garmentdreamer_tpu.core.config import C
 from garmentdreamer_tpu.data.cameras import RandomCameraConfig, RandomCameraSampler, test_ring_cameras
-from garmentdreamer_tpu.guidance.prompt import PromptEmbeddings, select_text_embeddings
+from garmentdreamer_tpu.guidance.prompt import (
+    PromptConfig,
+    PromptEmbeddings,
+    get_text_embeddings_perp_neg,
+    select_text_embeddings,
+)
 from garmentdreamer_tpu.guidance.sds import SDSGuidance
 from garmentdreamer_tpu.splat import state as state_mod
+from garmentdreamer_tpu.splat.budgets import classes_for
 from garmentdreamer_tpu.splat.densify import add_densification_stats, densify_and_prune
 from garmentdreamer_tpu.splat.optim import GaussianOptimConfig, make_optimizer, reset_moments_rows
 from garmentdreamer_tpu.splat.render import render_batch, render_view
@@ -106,11 +112,18 @@ class GaussianDreamerSystem:
         guidance: Optional[SDSGuidance] = None,
         prompt_embeddings: Optional[PromptEmbeddings] = None,
         optim_cfg: Optional[GaussianOptimConfig] = None,
+        prompt_cfg: Optional[PromptConfig] = None,
     ):
+        """``prompt_cfg`` carries the Perp-Neg switch + decay coefficients;
+        with ``prompt_cfg.use_perp_neg`` the jitted step embeds each view via
+        :func:`get_text_embeddings_perp_neg` and runs the 4-way-batch UNet
+        guidance (reference: base.py:195-206 consumed at
+        stable_diffusion_guidance.py:185-232)."""
         self.cfg = cfg
         self.data_cfg = data_cfg
         self.guidance = guidance
         self.prompt_embeddings = prompt_embeddings
+        self.prompt_cfg = prompt_cfg
         self.optim_cfg = optim_cfg or GaussianOptimConfig(
             spatial_lr_scale=cfg.cameras_extent
         )
@@ -175,14 +188,24 @@ class GaussianDreamerSystem:
                 # Mosaic needs a 128-lane multiple
                 max_per_tile=max(128, -(-cfg.max_per_tile // 128) * 128),
                 fast=True, payload_dtype="packed",
-                classes=((6, None), (64, 8192)),
+                classes=classes_for(height, width, cfg.capacity),
             )
             return out["render"], out["depth"]
+
+        pcfg = self.prompt_cfg
+        use_perp_neg = bool(pcfg is not None and pcfg.use_perp_neg)
 
         @jax.jit
         def guidance_grads(g_params, images, depth, elevation, azimuth, rng,
                            grad_clip_val, lambdas):
-            text_emb = select_text_embeddings(emb, elevation, azimuth)
+            if use_perp_neg:
+                # 4-way batch [pos, uncond, neg0, neg1] + decay weights
+                text_emb, neg_w = get_text_embeddings_perp_neg(
+                    emb, elevation, azimuth, pcfg
+                )
+            else:
+                text_emb = select_text_embeddings(emb, elevation, azimuth)
+                neg_w = None
 
             def loss_fn(im, dp):
                 g_out = guidance(
@@ -190,6 +213,7 @@ class GaussianDreamerSystem:
                     min_step_percent=cfg.min_step_percent,
                     max_step_percent=max_step_percent,
                     grad_clip_val=grad_clip_val,
+                    neg_guidance_weights=neg_w,
                     # weights enter jit as an ARGUMENT: closure capture would
                     # bake ~3.5 GB into the HLO as constants
                     params=g_params,
@@ -234,9 +258,13 @@ class GaussianDreamerSystem:
                 # VJP under the guidance cotangents: d(proxy)/d(render params)
                 # == the fused step's gradient
                 val = jnp.sum(out["render"] * d_im) + jnp.sum(out["depth"] * d_dp)
-                return val, (out["radii"], jnp.sum(out["n_dropped"]))
+                return val, (
+                    out["radii"],
+                    jnp.sum(out["n_dropped"]),
+                    jnp.sum(out["n_harmful_px"]),
+                )
 
-            (_, (radii, n_dropped)), (grads, so_grads) = jax.value_and_grad(
+            (_, (radii, n_dropped, n_harmful)), (grads, so_grads) = jax.value_and_grad(
                 proxy, argnums=(0, 1), has_aux=True
             )(st.params, screen_offsets)
             updates, opt_state = optimizer.update(grads, opt_state, st.params)
@@ -251,7 +279,7 @@ class GaussianDreamerSystem:
             st2 = add_densification_stats(
                 st.replace(params=new_params), vs_grad, vis, radii_max
             )
-            return st2.params, st2.stats, opt_state, n_dropped
+            return st2.params, st2.stats, opt_state, n_dropped, n_harmful
 
         def train_step(params, stats, opt_state, cams, elevation, azimuth, rng,
                        grad_clip_val, lambdas, g_params):
@@ -260,11 +288,13 @@ class GaussianDreamerSystem:
                 g_params, images, depth, elevation, azimuth, rng,
                 grad_clip_val, lambdas,
             )
-            params, stats, opt_state, n_dropped = apply_grads(
+            params, stats, opt_state, n_dropped, n_harmful = apply_grads(
                 params, stats, opt_state, cams, d_im, d_dp
             )
-            # silent-truncation canary (VERDICT r1 #6)
+            # silent-truncation canaries (VERDICT r1 #6; instances vs pixels
+            # counted separately per ADVICE r2)
             aux["n_dropped"] = n_dropped
+            aux["n_harmful_px"] = n_harmful
             return params, stats, opt_state, aux
 
         return train_step
@@ -378,11 +408,17 @@ class GaussianDreamerSystem:
 
                 check_finite(aux, f"train aux @ step {step}")  # no-op unless GD_DEBUG
                 nd = int(aux.get("n_dropped", 0))
+                nh = int(aux.get("n_harmful_px", 0))
+                from garmentdreamer_tpu.splat.budgets import describe
+
                 print(
                     f"[gaussiandreamer] step {step}: loss={float(aux['loss']):.4f} "
                     f"sds={float(aux['loss_sds']):.4f} "
-                    f"grad_norm={float(aux['grad_norm']):.3f} n_dropped={nd}"
-                    + (" <- raise max_tiles_per_gaussian/big_budget" if nd else ""),
+                    f"grad_norm={float(aux['grad_norm']):.3f} n_dropped={nd} "
+                    f"n_harmful_px={nh} "
+                    f"{describe(classes_for(batch['height'], batch['width'], cfg.capacity), cfg.capacity)}"
+                    + (" <- raise class budgets" if nd else "")
+                    + (" <- raise max_per_tile" if nh else ""),
                     flush=True,
                 )
                 if metrics_jsonl is not None:
@@ -436,7 +472,7 @@ class GaussianDreamerSystem:
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_per_tile=cfg.max_per_tile,
             fast=True, payload_dtype="packed",
-            classes=((4, None), (16, 16384), (64, 1024)),
+            classes=classes_for(H, W, st.capacity),
         )
         os.makedirs(out_dir, exist_ok=True)
         save_image_grid(
@@ -477,9 +513,9 @@ class GaussianDreamerSystem:
                 max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                 max_per_tile=cfg.max_per_tile,
                 fast=True, payload_dtype="packed",
-                # eval-ring budgets: densified clouds + 1024^2 rects are
-                # larger than the bench scene's; n_dropped warns if exceeded
-                classes=((8, None), (32, 32768), (256, 2048)),
+                # eval-ring budgets from the shared sizing rule; n_dropped
+                # warns if exceeded
+                classes=classes_for(H, W, st.capacity),
             )
             return out["render"], out["alpha"], jnp.sum(out["n_dropped"])
 

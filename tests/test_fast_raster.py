@@ -42,9 +42,9 @@ BG = jnp.ones(3, jnp.float32)
 
 def test_two_class_expansion_matches_single_class():
     proj, H, W = _proj(inflate=20)
-    c0, a0, d0, nd0 = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=64,
+    c0, a0, d0, nd0, _nh = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=64,
                                       max_per_tile=512)
-    c1, a1, d1, nd1 = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=4,
+    c1, a1, d1, nd1, _nh = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=4,
                                       max_per_tile=512, big_budget=512, big_tiles=64)
     assert int(nd0) == 0 and int(nd1) == 0
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
@@ -54,7 +54,7 @@ def test_two_class_expansion_matches_single_class():
 
 def test_two_class_budget_overflow_is_counted():
     proj, H, W = _proj(inflate=20)
-    _, _, _, nd = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=4,
+    _, _, _, nd, _nh = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=4,
                                   max_per_tile=512, big_budget=4, big_tiles=64)
     assert int(nd) > 0
 
@@ -64,7 +64,7 @@ def test_two_class_gradients_match():
     proj, H, W = _proj(inflate=20)
 
     def loss(p, bb, R):
-        cc, aa, _, _ = rasterize_tiled(p, H, W, BG, max_tiles_per_gaussian=R,
+        cc, aa, _, _, _nh = rasterize_tiled(p, H, W, BG, max_tiles_per_gaussian=R,
                                        max_per_tile=512, big_budget=bb, big_tiles=64)
         return (cc * 0.3).sum() + (aa * 0.1).sum()
 
@@ -80,7 +80,7 @@ def test_fast_forward_matches_xla_path_interpret():
     proj, H, W = _proj()
     # XLA window big enough that nothing truncates; the Pallas path CHAINS
     # 128-wide windows and must still match exactly
-    cref, aref, dref, _ = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
+    cref, aref, dref, _, _nh = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
                                           max_per_tile=512)
     with pltpu.force_tpu_interpret_mode():
         cf, af, df, _ = rasterize_tiled_fast(proj, H, W, BG,
@@ -97,10 +97,10 @@ def test_window_chaining_exact_on_deep_tiles():
 
     # pile many translucent splats into few tiles
     proj, H, W = _proj(n=500, H=32, W=32, seed=3)
-    cref, aref, _, nd0 = rasterize_tiled(proj, H, W, BG,
-                                         max_tiles_per_gaussian=8,
-                                         max_per_tile=1024)
-    assert int(nd0) == 0, "reference window must not truncate"
+    cref, aref, _, nd0, nh0 = rasterize_tiled(proj, H, W, BG,
+                                              max_tiles_per_gaussian=8,
+                                              max_per_tile=1024)
+    assert int(nd0) == 0 and int(nh0) == 0, "reference window must not truncate"
     with pltpu.force_tpu_interpret_mode():
         cp, ap, _, nd = rasterize_tiled_packed(
             proj, H, W, BG, classes=((8, None), (64, 512)), max_per_tile=128,
@@ -112,7 +112,7 @@ def test_window_chaining_exact_on_deep_tiles():
 
 def test_fast_forward_bf16_payloads_close():
     proj, H, W = _proj()
-    cref, aref, _, _ = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
+    cref, aref, _, _, _nh = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=8,
                                        max_per_tile=512)
     with pltpu.force_tpu_interpret_mode():
         cf, af, _, _ = rasterize_tiled_fast(
@@ -128,7 +128,7 @@ def test_packed_forward_close_to_xla_path():
     from garmentdreamer_tpu.splat.rasterize import rasterize_tiled_packed
 
     proj, H, W = _proj(inflate=20)
-    cref, aref, dref, nd0 = rasterize_tiled(proj, H, W, BG,
+    cref, aref, dref, nd0, _nh = rasterize_tiled(proj, H, W, BG,
                                             max_tiles_per_gaussian=64,
                                             max_per_tile=512)
     with pltpu.force_tpu_interpret_mode():
@@ -167,26 +167,29 @@ def test_packed_final_class_cap_counts_drops():
 
 
 def test_xla_depth_canary_fires_only_when_unsaturated():
-    """The XLA training path's n_dropped must include depth-cap truncation
+    """The XLA training path's n_harmful_px (a PIXEL count, reported
+    separately from the instance-drop counter since ADVICE r2) must fire
     ONLY where transmittance had not saturated: a translucent deep stack
     fires the canary at a small window and is silent at a window covering
     the full list (VERDICT r1 item 6: prove the counter fires)."""
     proj, H, W = _proj(n=500, H=32, W=32, seed=3)
-    _, _, _, nd_small = rasterize_tiled(proj, H, W, BG,
-                                        max_tiles_per_gaussian=8,
-                                        max_per_tile=64)
-    _, _, _, nd_big = rasterize_tiled(proj, H, W, BG,
-                                      max_tiles_per_gaussian=8,
-                                      max_per_tile=1024)
-    assert int(nd_small) > 0, "truncated translucent stack must fire the canary"
-    assert int(nd_big) == 0
+    _, _, _, nd_small, nh_small = rasterize_tiled(proj, H, W, BG,
+                                                  max_tiles_per_gaussian=8,
+                                                  max_per_tile=64)
+    _, _, _, nd_big, nh_big = rasterize_tiled(proj, H, W, BG,
+                                              max_tiles_per_gaussian=8,
+                                              max_per_tile=1024)
+    # the expansion cap (same R in both runs) is separate from the depth cap
+    assert int(nd_small) == int(nd_big)
+    assert int(nh_small) > 0, "truncated translucent stack must fire the canary"
+    assert int(nh_big) == 0
 
 
 def test_hybrid_gradients_are_xla_gradients():
     proj, H, W = _proj()
 
     def loss_ref(p):
-        cc, aa, dd, _ = rasterize_tiled(p, H, W, BG, max_tiles_per_gaussian=8,
+        cc, aa, dd, _, _nh = rasterize_tiled(p, H, W, BG, max_tiles_per_gaussian=8,
                                         max_per_tile=128)
         return (cc * 0.3).sum() + (aa * 0.1).sum() + (dd * 0.01).sum()
 

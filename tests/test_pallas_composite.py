@@ -72,7 +72,7 @@ class TestPallasComposite:
         proj, H, W = _scene_and_proj()
         bg = jnp.asarray([1.0, 1.0, 1.0])
 
-        img_x, a_x, d_x, _ = rmod.rasterize_tiled(
+        img_x, a_x, d_x, _, _nh = rmod.rasterize_tiled(
             proj, H, W, bg, max_tiles_per_gaussian=8, max_per_tile=384
         )
 

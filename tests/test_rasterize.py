@@ -80,7 +80,7 @@ def test_tiled_matches_brute():
     proj = _project(st, c)
     bg = jnp.array([1.0, 1.0, 1.0])
     ref = rasterize_brute(proj, H, W, bg)
-    color, alpha, depth, ndrop = rasterize_tiled(
+    color, alpha, depth, ndrop, _nh = rasterize_tiled(
         proj, H, W, bg, max_tiles_per_gaussian=64, max_per_tile=512, tile_chunk=16
     )
     assert int(ndrop) == 0
@@ -98,7 +98,7 @@ def test_tiled_gradients_match_brute():
     def loss_tiled(params):
         st2 = st.replace(params=params)
         proj = _project(st2, c)
-        color, _, _, _ = rasterize_tiled(proj, H, W, bg, max_tiles_per_gaussian=64, max_per_tile=256, tile_chunk=16)
+        color, _, _, _, _nh = rasterize_tiled(proj, H, W, bg, max_tiles_per_gaussian=64, max_per_tile=256, tile_chunk=16)
         return jnp.mean((color - target) ** 2)
 
     def loss_brute(params):
