@@ -109,16 +109,52 @@ def load_module_weights(
 
     if module_name is not None and ignore_modules is not None:
         raise ValueError("module_name and ignore_modules cannot be both set")
-    restored = restore_checkpoint(ckpt_dir, target, step=step)
     if module_name is None and ignore_modules is None:
-        return restored
+        return restore_checkpoint(ckpt_dir, target, step=step)
     if not isinstance(target, dict):
         raise TypeError("module filtering requires a dict-rooted pytree")
-    out = dict(target)
+
+    # Partial restore (ADVICE r2): UNSELECTED subtrees restore at their
+    # SAVED shapes (from checkpoint metadata) and are discarded, so a
+    # checkpoint whose ignored modules mismatch the target cannot fail the
+    # load -- the reference's key-prefix filter never materializes them
+    # either (threestudio/utils/misc.py:32-62).
+    import orbax.checkpoint as ocp
+
     if module_name is not None:
-        out[module_name] = restored[module_name]
-        return out
+        selected = lambda k: k == module_name
+    else:
+        selected = lambda k: k not in ignore_modules
+
+    if step is None:
+        step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    step_dir = os.path.join(os.path.abspath(ckpt_dir), str(step), "default")
+    ckptr = ocp.StandardCheckpointer()
+    meta_tree = ckptr.metadata(step_dir).item_metadata.tree
+
+    def saved_abstract(subtree):
+        return jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype), subtree
+        )
+
+    template = {}
+    for k in meta_tree:
+        if selected(k) and k in target:
+            template[k] = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, _pack_empty(target[k])
+            )
+        else:
+            template[k] = saved_abstract(meta_tree[k])
+    restored = ckptr.restore(step_dir, template)
+
+    out = dict(target)
     for k in restored:
-        if k not in ignore_modules:
-            out[k] = restored[k]
+        if selected(k) and k in target:
+            # swap placeholder leaves back to target's zero-size originals
+            out[k] = jax.tree_util.tree_map(
+                lambda o, t: t if (hasattr(t, "size") and t.size == 0) else o,
+                restored[k], target[k],
+            )
     return out

@@ -120,9 +120,15 @@ class SDSGuidance:
                 rgb, (B, cfg.latent_size, cfg.latent_size, rgb.shape[-1]), "bilinear"
             )
         else:
-            rgb512 = jax.image.resize(
-                rgb, (B, cfg.image_size, cfg.image_size, 3), "bilinear"
-            )
+            if rgb.shape[1:3] != (cfg.image_size, cfg.image_size):
+                rgb512 = jax.image.resize(
+                    rgb, (B, cfg.image_size, cfg.image_size, 3), "bilinear"
+                )
+            else:
+                # identity resize is NOT free under autodiff (bilinear
+                # gather + its VJP); skip it when the render is already at
+                # guidance resolution
+                rgb512 = rgb
             latents = self.vae_encode(vae_params, rgb512 * 2.0 - 1.0, rng_vae)
 
         min_step, max_step = self.min_max_step(

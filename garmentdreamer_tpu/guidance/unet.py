@@ -58,6 +58,12 @@ class UNetConfig:
     lora_rank: Optional[int] = None
     extra_emb_dim: Optional[int] = None  # camera/shading conditioning width
     dtype: jnp.dtype = jnp.float32  # compute dtype
+    # Pallas flash attention for LONG self-attention (>= 1024 tokens, i.e.
+    # the 64^2/32^2 latent blocks): O(n) memory, no materialized (n, n)
+    # score matrix round-tripping HBM. Cross-attention (77 kv tokens) and
+    # short sequences keep the einsum path; CPU (tests) always falls back.
+    flash_attention: bool = True
+    flash_min_seq: int = 1024
 
     @staticmethod
     def sd21() -> "UNetConfig":
@@ -150,9 +156,12 @@ class Attention(nn.Module):
     context_dim: Optional[int] = None
     lora_rank: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+    flash_min_seq: int = 1024
 
     @nn.compact
     def __call__(self, x, context=None):
+        self_attn = context is None
         context = x if context is None else context
         heads = max(self.query_dim // self.head_dim, 1)
         inner = heads * self.head_dim
@@ -168,9 +177,29 @@ class Attention(nn.Module):
         v = v.reshape(b, m, heads, self.head_dim)
 
         scale = 1.0 / math.sqrt(self.head_dim)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        if (
+            self.use_flash and self_attn and n >= self.flash_min_seq
+            and n % 512 == 0 and jax.default_backend() != "cpu"
+        ):
+            # Pallas flash attention: the (n, n) score matrix never leaves
+            # VMEM -- at 4096 tokens the einsum path round-trips a
+            # (b, h, n, n) f32 softmax through HBM
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            o = flash_attention(
+                jnp.transpose(q, (0, 2, 1, 3)).astype(self.dtype),
+                jnp.transpose(k, (0, 2, 1, 3)).astype(self.dtype),
+                jnp.transpose(v, (0, 2, 1, 3)).astype(self.dtype),
+                causal=False,
+                sm_scale=scale,
+            )
+            out = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, n, inner)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
         return LoraDense(self.query_dim, rank=self.lora_rank, dtype=self.dtype, name="to_out")(out)
 
 
@@ -195,11 +224,14 @@ class TransformerBlock(nn.Module):
     context_dim: int
     lora_rank: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+    flash_min_seq: int = 1024
 
     @nn.compact
     def __call__(self, x, context):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.head_dim, lora_rank=self.lora_rank, dtype=self.dtype, name="attn1")(h)
+        x = x + Attention(self.dim, self.head_dim, lora_rank=self.lora_rank, dtype=self.dtype,
+                          use_flash=self.use_flash, flash_min_seq=self.flash_min_seq, name="attn1")(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             self.dim, self.head_dim, context_dim=self.context_dim,
@@ -220,6 +252,8 @@ class SpatialTransformer(nn.Module):
     norm_groups: int = 32
     lora_rank: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+    flash_min_seq: int = 1024
 
     @nn.compact
     def __call__(self, x, context):
@@ -235,7 +269,8 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             x = TransformerBlock(
                 c, self.head_dim, self.context_dim, lora_rank=self.lora_rank,
-                dtype=self.dtype, name=f"block_{i}",
+                dtype=self.dtype, use_flash=self.use_flash,
+                flash_min_seq=self.flash_min_seq, name=f"block_{i}",
             )(x, context)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
@@ -325,6 +360,8 @@ class UNet2DCondition(nn.Module):
                         ch, cfg.attention_head_dim, cfg.cross_attention_dim,
                         use_linear_projection=cfg.use_linear_projection,
                         norm_groups=cfg.norm_groups, lora_rank=cfg.lora_rank,
+                        use_flash=cfg.flash_attention,
+                        flash_min_seq=cfg.flash_min_seq,
                         dtype=dt, name=f"down_{i}_attn_{j}",
                     )(h, encoder_hidden_states)
                 skips.append(h)
@@ -339,6 +376,7 @@ class UNet2DCondition(nn.Module):
             ch_mid, cfg.attention_head_dim, cfg.cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
             norm_groups=cfg.norm_groups, lora_rank=cfg.lora_rank,
+            use_flash=cfg.flash_attention, flash_min_seq=cfg.flash_min_seq,
             dtype=dt, name="mid_attn",
         )(h, encoder_hidden_states)
         h = ResnetBlock(ch_mid, cfg.norm_groups, dtype=dt, name="mid_res_1")(h, temb)
@@ -356,6 +394,8 @@ class UNet2DCondition(nn.Module):
                         ch, cfg.attention_head_dim, cfg.cross_attention_dim,
                         use_linear_projection=cfg.use_linear_projection,
                         norm_groups=cfg.norm_groups, lora_rank=cfg.lora_rank,
+                        use_flash=cfg.flash_attention,
+                        flash_min_seq=cfg.flash_min_seq,
                         dtype=dt, name=f"up_{i}_attn_{j}",
                     )(h, encoder_hidden_states)
             if i < len(cfg.up_block_types) - 1:

@@ -80,7 +80,14 @@ def convert_torch_state_dict(
     if has("encoder.register_tokens"):
         enc["register_tokens"] = g("encoder.register_tokens")
     for i in range(depth):
+        # DINOv2's default block_chunks=1 wraps blocks in a chunked list, so
+        # the real metric_depth_vit_large_800k checkpoint names them
+        # encoder.blocks.0.{i}.* (ViT_DINO_reg.py:775,880-883; caught by the
+        # tests/fixtures/metric3d_keys.txt manifest); the flat
+        # encoder.blocks.{i}.* form is kept for block_chunks=0 exports
         p = f"encoder.blocks.{i}."
+        if not has(p + "norm1.weight"):
+            p = f"encoder.blocks.0.{i}."
         enc[f"block{i}"] = {
             "norm1": _ln(g(p + "norm1.weight"), g(p + "norm1.bias")),
             "attn": {

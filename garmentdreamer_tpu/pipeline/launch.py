@@ -46,8 +46,13 @@ def generate_3dgs(
     gs_cfg: Optional[Config] = None,
     scale: str = "sd21",
     weights_dir: Optional[str] = None,
+    mesh_devices: int = 0,
 ):
-    """Stage 1. Returns (save_dir, bound)."""
+    """Stage 1. Returns (save_dir, bound).
+
+    ``mesh_devices`` > 0 runs the SDS loop + ring export data-parallel over
+    that many chips (one 'data' mesh axis; devices>views handled by strip
+    sharding -- systems/gaussiandreamer mesh mode)."""
     import jax.numpy as jnp
 
     from garmentdreamer_tpu.data.cameras import RandomCameraConfig
@@ -87,9 +92,14 @@ def generate_3dgs(
         use_perp_neg=bool(sys_over.get("use_perp_neg", False)),
         prompt_overrides={k: sys_over[k] for k in perp_keys if k in sys_over},
     )
+    mesh = None
+    if mesh_devices:
+        from garmentdreamer_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh(mesh_devices)
     system = GaussianDreamerSystem(
         gcfg, dcfg, guidance=stack.sds, prompt_embeddings=stack.prompt_embeddings,
-        prompt_cfg=stack.prompt_cfg,
+        prompt_cfg=stack.prompt_cfg, mesh=mesh,
     )
     # run-reproducibility snapshots + live progress file (the reference's
     # CodeSnapshot/ConfigSnapshot/Progress callbacks, callbacks.py:60-158)
@@ -259,6 +269,7 @@ def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
         _, bound = generate_3dgs(
             args.template_path, args.prompt, save_dir, gs_cfg,
             scale=args.model_scale, weights_dir=args.weights_dir,
+            mesh_devices=args.mesh,
         )
     else:
         from garmentdreamer_tpu.systems.gaussiandreamer import GaussianDreamerConfig
@@ -324,6 +335,11 @@ def main(argv=None):
     p.add_argument("--save_dir", type=str, default=None, help="override trial dir")
     p.add_argument("--resume", action="store_true", help="skip stages whose artifacts exist")
     p.add_argument("--model_scale", choices=["sd21", "tiny"], default="sd21")
+    p.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="data-parallel stage 1 over N chips (0 = single chip); "
+        "devices>views covered by horizontal strip sharding",
+    )
     p.add_argument("--weights_dir", type=str, default=None, help="converted SD weights")
     p.add_argument("--metric3d_checkpoint", type=str, default=None)
     p.add_argument(

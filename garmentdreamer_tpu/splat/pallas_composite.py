@@ -407,7 +407,7 @@ def _grad_kernel(starts_ref, win_base_ref, attrs_ref, ct_ref, bg_ref, out_ref,
     # over grid programs; ~10 KB copies, serialized waits are negligible.
     n_used = win_base_ref[n_tiles]
     n_progs = pl.num_programs(0)
-    out_scratch[0, :, :] = jnp.zeros((10, K), jnp.float32)
+    out_scratch[0, :, :] = jnp.zeros((16, K), jnp.float32)
 
     def zfill(j, _):
         slot_idx = n_used + blk + j * n_progs
@@ -436,8 +436,9 @@ def composite_grad_tiles_pallas(
     K: int = 256,
     n_win_max: int = 0,
 ) -> jnp.ndarray:
-    """-> (n_win_max, 10, K) f32 per-slot gradient rows
-    [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddp].
+    """-> (n_win_max, 16, K) f32 per-slot gradient rows; rows 0..9 are
+    [dmx, dmy, dca, dcb, dcc, dr, dg, db, dop, ddp], rows 10..15 pad
+    (Mosaic sublane tiling).
 
     Slot ``win_base[t] + w`` holds window ``w`` of tile ``t``, whose rows map
     to sorted positions ``align_down(starts[t]) + w*K + [0, K)``; rows outside
@@ -473,7 +474,9 @@ def composite_grad_tiles_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, n_rows, K), jnp.uint32),  # double-buffered windows
-            pltpu.VMEM((2, 10, K), jnp.float32),  # double-buffered grad out
+            # 16 rows (10 used): Mosaic DMA slices need sublane dims aligned
+            # to the (8, 128) f32 tiling
+            pltpu.VMEM((2, 16, K), jnp.float32),  # double-buffered grad out
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -481,7 +484,7 @@ def composite_grad_tiles_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_win_max, 10, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_win_max, 16, K), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )(starts, win_base, inst_attrs_t, ct_tiles, bg[None, :])
     return out

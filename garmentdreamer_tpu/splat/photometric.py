@@ -50,8 +50,13 @@ def fit_photometric(
     cfg: Optional[PhotometricConfig] = None,
     optim_cfg: Optional[GaussianOptimConfig] = None,
     callback: Optional[Callable] = None,
+    viewer=None,
 ):
-    """Returns (state, metrics dict with final train PSNR)."""
+    """Returns (state, metrics dict with final train PSNR).
+
+    ``viewer``: an optional :class:`garmentdreamer_tpu.splat.viewer.NetworkGUI`
+    polled each iteration, exactly like the reference vanilla train loop
+    polls network_gui (gaussiansplatting/train.py:52-66)."""
     cfg = cfg or PhotometricConfig()
     H, W = targets.shape[1:3]
     optimizer = make_optimizer(optim_cfg or GaussianOptimConfig())
@@ -97,6 +102,8 @@ def fit_photometric(
     last_psnr = 0.0
     rng = jax.random.PRNGKey(cfg.seed)
     for it in range(cfg.iterations):
+        if viewer is not None:
+            viewer.handle(st, it, cfg.iterations)
         idx = rs.choice(n_views, cfg.batch_size, replace=n_views < cfg.batch_size)
         cam_batch = {k: jnp.asarray(v[idx]) for k, v in cams.items()}
         tgt = jnp.asarray(targets[idx])

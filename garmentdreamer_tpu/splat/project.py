@@ -70,12 +70,18 @@ def project_gaussians(
     height: int,
     width: int,
     scaling_modifier: float = 1.0,
+    lim_xy=None,
 ) -> Projected:
     """EWA projection of the full cloud for one camera.
 
     Matches forward.cu:74-256: perspective Jacobian with the 1.3*tanfov frustum
     clamp, +0.3 low-pass on the 2D covariance diagonal, 3-sigma pixel radius from
     the larger eigenvalue, near-plane cull at view z <= 0.2.
+
+    ``lim_xy`` overrides the (1.3*tanfovx, 1.3*tanfovy) frustum clamp --
+    horizontal-strip cameras (multi-chip pixel sharding) pass the FULL
+    image's limits so per-strip covariances match the unsharded render
+    bit-for-bit (parallel/dp.strip_cameras).
     """
     C = xyz.shape[0]
     focal_x = width / (2.0 * tanfovx)
@@ -127,8 +133,11 @@ def project_gaussians(
 
     # EWA: cov2D = J W Sigma W^T J^T (forward.cu:74-113)
     W = world_view[:3, :3]  # world->view rotation (static 3x3)
-    limx = 1.3 * tanfovx
-    limy = 1.3 * tanfovy
+    if lim_xy is None:
+        limx = 1.3 * tanfovx
+        limy = 1.3 * tanfovy
+    else:
+        limx, limy = lim_xy[0], lim_xy[1]
     txtz = jnp.clip(p_view_x / tz_safe, -limx, limx)
     tytz = jnp.clip(p_view_y / tz_safe, -limy, limy)
     tx = txtz * tz_safe

@@ -859,7 +859,7 @@ def packed_backward_cols(rows5, idx_sorted, starts, ct_tiles, bg,
     blocks = composite_grad_tiles_pallas(
         starts, win_base, rows5, ct_tiles, bg, n_tiles, tiles_x,
         K=Kb, n_win_max=n_win_max,
-    )  # (NW, 10, Kb)
+    )  # (NW, 16, Kb); rows 10..15 pad
 
     # per-slot position keys (slot/tile bookkeeping is O(NW) ~ thousands,
     # not O(L) -- the tiny gathers here are fine)
@@ -879,7 +879,7 @@ def packed_backward_cols(rows5, idx_sorted, starts, ct_tiles, bg,
     SENTINEL = jnp.int32(0x7FFFFFF0)
     pos_key = jnp.where(owned, pos, SENTINEL).reshape(-1)
 
-    flat = jnp.transpose(blocks, (1, 0, 2)).reshape(10, -1)  # (10, NW*Kb)
+    flat = jnp.transpose(blocks[:, :10, :], (1, 0, 2)).reshape(10, -1)  # (10, NW*Kb)
     sorted1 = jax.lax.sort(
         (pos_key, *(flat[i] for i in range(10))), num_keys=1, is_stable=False
     )

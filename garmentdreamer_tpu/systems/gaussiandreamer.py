@@ -47,7 +47,12 @@ from garmentdreamer_tpu.splat import state as state_mod
 from garmentdreamer_tpu.splat.budgets import classes_for
 from garmentdreamer_tpu.splat.densify import add_densification_stats, densify_and_prune
 from garmentdreamer_tpu.splat.optim import GaussianOptimConfig, make_optimizer, reset_moments_rows
-from garmentdreamer_tpu.splat.render import render_batch, render_view
+from garmentdreamer_tpu.splat.render import (
+    render_batch,
+    render_batch_packed_bwd,
+    render_batch_packed_fwd,
+    render_view,
+)
 from garmentdreamer_tpu.splat.template import template_point_cloud
 
 __all__ = ["GaussianDreamerConfig", "GaussianDreamerSystem", "binary_cross_entropy"]
@@ -97,6 +102,10 @@ class GaussianDreamerConfig:
     big_budget: int = 4096
     big_tiles: int = 64
     max_per_tile: int = 512
+    # Pallas backward (round 3): the train-step VJP runs the Pallas gradient
+    # kernel on the forward's residuals -- no re-render, no depth cap
+    # (False restores the round-2 XLA re-render backward)
+    use_pallas_backward: bool = True
     seed: int = 123
 
     @property
@@ -113,17 +122,37 @@ class GaussianDreamerSystem:
         prompt_embeddings: Optional[PromptEmbeddings] = None,
         optim_cfg: Optional[GaussianOptimConfig] = None,
         prompt_cfg: Optional[PromptConfig] = None,
+        mesh=None,
     ):
         """``prompt_cfg`` carries the Perp-Neg switch + decay coefficients;
         with ``prompt_cfg.use_perp_neg`` the jitted step embeds each view via
         :func:`get_text_embeddings_perp_neg` and runs the 4-way-batch UNet
         guidance (reference: base.py:195-206 consumed at
-        stable_diffusion_guidance.py:185-232)."""
+        stable_diffusion_guidance.py:185-232).
+
+        ``mesh`` (a jax.sharding.Mesh with one 'data' axis) data-parallelizes
+        the render/backward programs via shard_map: with n_devices == B each
+        chip owns one view; with n_devices == S*B each chip owns one
+        horizontal STRIP of a view (parallel/dp.strip_cameras) -- the
+        production B=4-views-on-8-chips layout. Parameter gradients psum over
+        ICI; guidance runs on the reassembled (B, H, W) images with its 2B
+        CFG batch left to the SPMD partitioner. Requires use_pallas_backward.
+        """
         self.cfg = cfg
         self.data_cfg = data_cfg
         self.guidance = guidance
         self.prompt_embeddings = prompt_embeddings
         self.prompt_cfg = prompt_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if n_dev % data_cfg.batch_size != 0:
+                raise ValueError(
+                    f"mesh devices ({n_dev}) must be a multiple of the view "
+                    f"batch ({data_cfg.batch_size})"
+                )
+            if not cfg.use_pallas_backward:
+                raise ValueError("mesh mode requires use_pallas_backward")
         self.optim_cfg = optim_cfg or GaussianOptimConfig(
             spatial_lr_scale=cfg.cameras_extent
         )
@@ -175,22 +204,124 @@ class GaussianDreamerSystem:
                 active_sh_degree=0, max_sh_degree=cfg.sh_degree,
             )
 
+        classes = classes_for(height, width, cfg.capacity)
+        # K is only the chained-window size (no cap); Mosaic needs a
+        # 128-lane multiple
+        K_window = max(128, -(-cfg.max_per_tile // 128) * 128)
+        use_pallas_bwd = cfg.use_pallas_backward
+        mesh = self.mesh
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from garmentdreamer_tpu.parallel.dp import (
+                strip_cameras, strip_cotangents, unstrip_images,
+            )
+
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            S = n_dev // self.data_cfg.batch_size  # strips per view
+            hs = height // S
+
+            @jax.jit
+            def render_fwd(params, stats, cams):
+                st_r = _state(params, stats)
+                scams = strip_cameras(cams, S, height) if S > 1 else cams
+
+                def per_dev(cams_local):
+                    return render_batch_packed_fwd(
+                        st_r, cams_local, bg, hs, width, classes,
+                        max_per_tile=K_window,
+                    )
+
+                out = shard_map(
+                    per_dev, mesh=mesh, in_specs=(P("data"),),
+                    out_specs=P("data"), check_rep=False,
+                )(scams)
+                render = unstrip_images(out["render"], S) if S > 1 else out["render"]
+                depth = unstrip_images(out["depth"], S) if S > 1 else out["depth"]
+                return render, depth, {"residuals": out["residuals"]}
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def apply_grads_pallas(params, stats, opt_state, cams, d_im, d_dp,
+                                   residuals):
+                st = _state(params, stats)
+                scams = strip_cameras(cams, S, height) if S > 1 else cams
+                ct_im = strip_cotangents(d_im, S) if S > 1 else d_im
+                ct_dp = strip_cotangents(d_dp, S) if S > 1 else d_dp
+
+                def per_dev(cams_local, res_local, ctr, ctd):
+                    grads, so_g, radii, nd = render_batch_packed_bwd(
+                        st, cams_local, bg, hs, width, classes, res_local,
+                        ctr, ctd,
+                    )
+                    # the scaling-book recipe: local grads, ICI all-reduce
+                    grads = jax.lax.psum(grads, "data")
+                    nd = jax.lax.psum(nd, "data")
+                    vs = jax.lax.psum(jnp.sum(so_g, axis=0), "data")
+                    radii_max = jax.lax.pmax(jnp.max(radii, axis=0), "data")
+                    return grads, vs, radii_max, nd
+
+                grads, vs_grad, radii_max, n_dropped = shard_map(
+                    per_dev, mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P("data")),
+                    out_specs=(P(), P(), P(), P()), check_rep=False,
+                )(scams, residuals, ct_im, ct_dp)
+                import optax
+
+                updates, opt_state = optimizer.update(grads, opt_state, st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                vis = radii_max > 0
+                st2 = add_densification_stats(
+                    st.replace(params=new_params), vs_grad, vis, radii_max
+                )
+                return (st2.params, st2.stats, opt_state, n_dropped,
+                        jnp.zeros((), jnp.int32))
+
+            def train_step(params, stats, opt_state, cams, elevation, azimuth,
+                           rng, grad_clip_val, lambdas, g_params):
+                images, depth, extras = render_fwd(params, stats, cams)
+                d_im, d_dp, aux = guidance_grads(
+                    g_params, images, depth, elevation, azimuth, rng,
+                    grad_clip_val, lambdas,
+                )
+                params, stats, opt_state, n_dropped, n_harmful = apply_grads_pallas(
+                    params, stats, opt_state, cams, d_im, d_dp,
+                    extras["residuals"],
+                )
+                aux["n_dropped"] = n_dropped
+                aux["n_harmful_px"] = n_harmful
+                return params, stats, opt_state, aux
+
+            # guidance_grads defined below is shared; return via closure
+            _mesh_train_step = train_step
+        else:
+            _mesh_train_step = None
+
         @jax.jit
         def render_fwd(params, stats, cams):
-            # Pallas packed path: exact window-chained compositing, ~4x the
-            # XLA tile path (56 vs 237 ms at B=4/512^2/100k measured). B's
-            # cotangents are evaluated at these images; C's VJP re-renders on
-            # the f32 XLA path, so gradients see ~0.4% bf16 payload noise --
-            # far below the SDS noise floor.
+            # Pallas packed path: exact window-chained compositing, ~3x the
+            # XLA tile path (82 vs 221 ms at B=4/512^2/100k measured). With
+            # the Pallas backward, the sorted instance rows + carried index +
+            # tile starts cross the program boundary as residuals so
+            # apply_grads never re-renders (the round-2 XLA backward cost 522
+            # of the 975 ms step).
+            st_r = _state(params, stats)
+            if use_pallas_bwd:
+                out = render_batch_packed_fwd(
+                    st_r, cams, bg, height, width, classes,
+                    max_per_tile=K_window,
+                )
+                return out["render"], out["depth"], {
+                    "residuals": out["residuals"],
+                    "radii": out["radii"],
+                }
             out = render_batch(
-                _state(params, stats), cams, bg, height, width,
-                # K is only the chained-window size on this path (no cap);
-                # Mosaic needs a 128-lane multiple
-                max_per_tile=max(128, -(-cfg.max_per_tile // 128) * 128),
+                st_r, cams, bg, height, width,
+                max_per_tile=K_window,
                 fast=True, payload_dtype="packed",
-                classes=classes_for(height, width, cfg.capacity),
+                classes=classes,
             )
-            return out["render"], out["depth"]
+            return out["render"], out["depth"], {}
 
         pcfg = self.prompt_cfg
         use_perp_neg = bool(pcfg is not None and pcfg.use_perp_neg)
@@ -242,6 +373,34 @@ class GaussianDreamerSystem:
             return d_im, d_dp, aux
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def apply_grads_pallas(params, stats, opt_state, cams, d_im, d_dp,
+                               residuals):
+            # Pallas gradient kernel on the forward's residuals: exact
+            # (window-chained, no depth cap -- kills the round-2 fwd/bwd
+            # asymmetry) and no re-render
+            st = _state(params, stats)
+            B = d_im.shape[0]
+            so = jnp.zeros((B, st.capacity, 2), jnp.float32)
+            grads, so_grads, radii, n_dropped = render_batch_packed_bwd(
+                st, cams, bg, height, width, classes, residuals,
+                d_im, d_dp, screen_offsets=so,
+            )
+            import optax
+
+            updates, opt_state = optimizer.update(grads, opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            vis = jnp.any(radii > 0, axis=0)
+            radii_max = jnp.max(radii, axis=0)
+            vs_grad = jnp.sum(so_grads, axis=0)
+            st2 = add_densification_stats(
+                st.replace(params=new_params), vs_grad, vis, radii_max
+            )
+            # window chaining composites (and differentiates) every instance:
+            # the depth-cap canary cannot fire on this path
+            return (st2.params, st2.stats, opt_state, n_dropped,
+                    jnp.zeros((), jnp.int32))
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def apply_grads(params, stats, opt_state, cams, d_im, d_dp):
             st = _state(params, stats)
             B = d_im.shape[0]
@@ -283,21 +442,27 @@ class GaussianDreamerSystem:
 
         def train_step(params, stats, opt_state, cams, elevation, azimuth, rng,
                        grad_clip_val, lambdas, g_params):
-            images, depth = render_fwd(params, stats, cams)
+            images, depth, extras = render_fwd(params, stats, cams)
             d_im, d_dp, aux = guidance_grads(
                 g_params, images, depth, elevation, azimuth, rng,
                 grad_clip_val, lambdas,
             )
-            params, stats, opt_state, n_dropped, n_harmful = apply_grads(
-                params, stats, opt_state, cams, d_im, d_dp
-            )
+            if use_pallas_bwd:
+                params, stats, opt_state, n_dropped, n_harmful = apply_grads_pallas(
+                    params, stats, opt_state, cams, d_im, d_dp,
+                    extras["residuals"],
+                )
+            else:
+                params, stats, opt_state, n_dropped, n_harmful = apply_grads(
+                    params, stats, opt_state, cams, d_im, d_dp
+                )
             # silent-truncation canaries (VERDICT r1 #6; instances vs pixels
             # counted separately per ADVICE r2)
             aux["n_dropped"] = n_dropped
             aux["n_harmful_px"] = n_harmful
             return params, stats, opt_state, aux
 
-        return train_step
+        return _mesh_train_step if _mesh_train_step is not None else train_step
 
     @property
     def guidance_params(self):
@@ -377,6 +542,19 @@ class GaussianDreamerSystem:
                 st = st.replace(params=tree["params"], stats=tree["stats"])
                 opt_state = tree["opt_state"]
                 start_step = int(tree["step"]) + 1
+        g_params = self.guidance_params
+        if self.mesh is not None:
+            # replicate training + guidance state across the mesh once;
+            # per-step view batches shard inside the jitted step
+            from garmentdreamer_tpu.parallel.dp import replicate
+
+            st = st.replace(
+                params=replicate(st.params, self.mesh),
+                stats=replicate(st.stats, self.mesh),
+            )
+            opt_state = replicate(opt_state, self.mesh)
+            if g_params is not None:
+                g_params = replicate(g_params, self.mesh)
         # per-step keys are pure functions of (seed, step): a resumed run
         # replays the identical noise/camera stream bit-for-bit (VERDICT r1
         # weak-6), so no rng state needs checkpointing
@@ -399,7 +577,7 @@ class GaussianDreamerSystem:
                 step_rng,
                 grad_clip_val,
                 lambdas,
-                self.guidance_params,
+                g_params,
             )
             st = st.replace(params=params, stats=stats)
             st, opt_state, _ = self.maybe_densify(step, st, opt_state, den_rng)
@@ -502,22 +680,42 @@ class GaussianDreamerSystem:
         ring = test_ring_cameras(dcfg)
         H, W = ring["height"], ring["width"]
         bg = jnp.asarray(cfg.bg_color, jnp.float32)
+        mesh = self.mesh
+        if mesh is not None:
+            # view-DP the 407-view ring: one view per chip per chunk
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            chunk = max(chunk, n_dev)
+            chunk -= chunk % n_dev
 
         @partial(jax.jit)
         def render_chunk(params, stats, cams):
             st_r = state_mod.GaussianState(
                 params=params, stats=stats, active_sh_degree=0, max_sh_degree=cfg.sh_degree
             )
-            out = render_batch(
-                st_r, cams, bg, H, W,
-                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-                max_per_tile=cfg.max_per_tile,
-                fast=True, payload_dtype="packed",
-                # eval-ring budgets from the shared sizing rule; n_dropped
-                # warns if exceeded
-                classes=classes_for(H, W, st.capacity),
-            )
-            return out["render"], out["alpha"], jnp.sum(out["n_dropped"])
+
+            def _render(cams_in):
+                out = render_batch(
+                    st_r, cams_in, bg, H, W,
+                    max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                    max_per_tile=cfg.max_per_tile,
+                    fast=True, payload_dtype="packed",
+                    # eval-ring budgets from the shared sizing rule;
+                    # n_dropped warns if exceeded
+                    classes=classes_for(H, W, st.capacity),
+                )
+                return out["render"], out["alpha"], out["n_dropped"]
+
+            if mesh is None:
+                r, a, nd = _render(cams)
+            else:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                r, a, nd = shard_map(
+                    _render, mesh=mesh, in_specs=(P("data"),),
+                    out_specs=P("data"), check_rep=False,
+                )(cams)
+            return r, a, jnp.sum(nd)
 
         n = ring["elevation"].shape[0]
         cam_entries = []

@@ -58,6 +58,28 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             load_module_weights(d, target, module_name="a", ignore_modules=["b"])
 
+    def test_load_module_weights_ignores_mismatched_subtrees(self, tmp_path):
+        """A checkpoint whose UNSELECTED subtree mismatches the target's
+        shapes must still load the selected one (ADVICE r2: the reference's
+        key-prefix filter never materializes ignored modules,
+        threestudio/utils/misc.py:32-62)."""
+        from garmentdreamer_tpu.core.checkpoint import load_module_weights
+
+        d = str(tmp_path / "ck")
+        saved = {"guidance": {"w": jnp.ones(3)}, "geometry": {"w": jnp.full(7, 2.0)}}
+        save_checkpoint(d, 0, saved)
+        # target's geometry has a DIFFERENT shape than the checkpoint's
+        target = {"guidance": {"w": jnp.zeros(3)}, "geometry": {"w": jnp.zeros(2)}}
+
+        only_g = load_module_weights(d, target, module_name="guidance")
+        np.testing.assert_array_equal(np.asarray(only_g["guidance"]["w"]), 1.0)
+        assert only_g["geometry"]["w"].shape == (2,)
+        np.testing.assert_array_equal(np.asarray(only_g["geometry"]["w"]), 0.0)
+
+        no_geo = load_module_weights(d, target, ignore_modules=["geometry"])
+        np.testing.assert_array_equal(np.asarray(no_geo["guidance"]["w"]), 1.0)
+        assert no_geo["geometry"]["w"].shape == (2,)
+
 
 @pytest.mark.slow
 class TestFitResume:

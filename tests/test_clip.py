@@ -144,6 +144,7 @@ def test_flax_clip_encode_fn_end_to_end(tmp_path):
     np.testing.assert_allclose(out, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_factory_uses_real_clip_when_weights_present(tmp_path, monkeypatch):
     """With a weights_dir containing a text encoder, pseudo_encode_fn must
     never be called (VERDICT r1: 'factory never touches pseudo_encode_fn')."""

@@ -90,6 +90,7 @@ def test_fast_forward_matches_xla_path_interpret():
     assert float(jnp.abs(df - dref).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_window_chaining_exact_on_deep_tiles():
     """Tiles deeper than one window must composite identically to the
     uncapped XLA path (the CUDA kernel's batch loop, forward.cu:300-345)."""
@@ -166,6 +167,7 @@ def test_packed_final_class_cap_counts_drops():
     assert int(nd) > 0
 
 
+@pytest.mark.slow
 def test_xla_depth_canary_fires_only_when_unsaturated():
     """The XLA training path's n_harmful_px (a PIXEL count, reported
     separately from the instance-drop counter since ADVICE r2) must fire
@@ -185,6 +187,7 @@ def test_xla_depth_canary_fires_only_when_unsaturated():
     assert int(nh_big) == 0
 
 
+@pytest.mark.slow
 def test_hybrid_gradients_are_xla_gradients():
     proj, H, W = _proj()
 

@@ -274,6 +274,7 @@ def test_sjc_grad_matches_reference_algebra():
 
 
 class TestGuidanceEval:
+    @pytest.mark.slow
     def test_preview_shapes_and_range(self):
         import jax
         import jax.numpy as jnp

@@ -74,6 +74,7 @@ def test_if2_loss_and_gradient_flow():
     # because of the bilinear resize VJP)
 
 
+@pytest.mark.slow
 def test_if2_dreamtime_t_schedule_clipped():
     g, cfg = _tiny_if2()
     B, R = 1, 32

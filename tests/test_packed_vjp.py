@@ -57,6 +57,7 @@ def _assert_close(gref, gpk, fields, rel=3e-2):
         assert err < rel, f"{name}: rel err {err:.4f} (scale {scale:.3g})"
 
 
+@pytest.mark.slow
 def test_packed_vjp_forward_matches_xla():
     proj, H, W = _proj()
     cref, aref, dref, _nd, _nh = rasterize_tiled(
@@ -71,6 +72,7 @@ def test_packed_vjp_forward_matches_xla():
     assert float(jnp.abs(ap - aref).max()) < 2e-2
 
 
+@pytest.mark.slow
 def test_packed_vjp_gradients_match_xla():
     proj, H, W = _proj()
 
@@ -91,10 +93,19 @@ def test_packed_vjp_gradients_match_xla():
                   ("means2d", "conics", "colors", "opacities", "depths"))
 
 
+@pytest.mark.slow
 def test_packed_vjp_gradients_multiclass_routing():
     """Budgeted classes reorder/rebase rows; the two routing sorts must still
-    deliver each cotangent to its gaussian."""
+    deliver each cotangent to its gaussian. Budgets are sized drop-free
+    (asserted) so both paths composite the identical instance set."""
     proj, H, W = _proj(inflate=20)
+    classes = ((4, None), (16, 512), (64, 64))
+
+    with pltpu.force_tpu_interpret_mode():
+        _, _, _, nd = rasterize_packed_diff(
+            proj, H, W, BG, classes=classes, max_per_tile=128
+        )
+    assert int(nd) == 0, f"fixture overflows class budgets ({int(nd)} dropped)"
 
     loss_ref = _loss_of(
         lambda p: rasterize_tiled(
@@ -103,8 +114,7 @@ def test_packed_vjp_gradients_multiclass_routing():
     )
     loss_pk = _loss_of(
         lambda p: rasterize_packed_diff(
-            p, H, W, BG, classes=((4, None), (16, 64), (64, 32)),
-            max_per_tile=128,
+            p, H, W, BG, classes=classes, max_per_tile=128,
         )
     )
     gref = jax.grad(loss_ref, allow_int=True)(proj)
@@ -114,6 +124,7 @@ def test_packed_vjp_gradients_multiclass_routing():
                   ("means2d", "conics", "colors", "opacities", "depths"))
 
 
+@pytest.mark.slow
 def test_packed_vjp_exact_on_deep_stacks():
     """Where the XLA backward's K-cap truncates deep translucent stacks, the
     window-chained Pallas VJP matches the UNCAPPED reference gradient --
@@ -136,6 +147,55 @@ def test_packed_vjp_exact_on_deep_stacks():
         gpk = jax.grad(loss_pk, allow_int=True)(proj)
     _assert_close(gref, gpk,
                   ("means2d", "conics", "colors", "opacities", "depths"))
+
+
+@pytest.mark.slow
+def test_split_program_backward_matches_custom_vjp():
+    """The training step splits forward and backward into separate jit
+    programs (residuals cross the boundary). Its gradients must equal the
+    single-program custom-VJP path -- same kernels, same routing."""
+    from garmentdreamer_tpu.core import cameras as ccam
+    from garmentdreamer_tpu.splat.render import (
+        render_batch_packed_bwd,
+        render_batch_packed_fwd,
+        render_view,
+    )
+
+    H = W = 64
+    rs = np.random.RandomState(1)
+    pts = rs.randn(200, 3).astype(np.float32) * 0.4
+    cols = rs.uniform(0.1, 0.9, (200, 3)).astype(np.float32)
+    st = state_mod.create_from_pcd(pts, cols, capacity=256)
+    c = ccam.gs_camera_from_spherical(10.0, 40.0, 2.5, float(np.deg2rad(60.0)), H, W)
+    cam1 = {k: jnp.asarray(v) for k, v in c.as_arrays().items()}
+    cams_b = {k: v[None] for k, v in cam1.items()}
+    classes = ((8, None), (64, 64))
+    bg = BG
+
+    ctr = jnp.asarray(rs.randn(H, W, 3).astype(np.float32))
+    ctd = jnp.asarray(rs.randn(H, W).astype(np.float32))
+
+    def loss(params):
+        out = render_view(
+            st.replace(params=params), cam1, bg, H, W,
+            fast=True, payload_dtype="packed", backward="pallas",
+            classes=classes, max_per_tile=128,
+        )
+        return (out["render"] * ctr).sum() + (out["depth"] * ctd).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss)(st.params)
+        fwd = render_batch_packed_fwd(st, cams_b, bg, H, W, classes, 128)
+        g2, so_g, radii, nd = render_batch_packed_bwd(
+            st, cams_b, bg, H, W, classes, fwd["residuals"],
+            ctr[None], ctd[None],
+        )
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+    assert radii.shape == (1, st.capacity)
+    assert so_g.shape == (1, st.capacity, 2)
 
 
 def test_packed_vjp_bg_gradient():

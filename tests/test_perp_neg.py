@@ -103,6 +103,7 @@ def test_perpendicular_component():
         np.testing.assert_allclose(resid[i], c * yn[i], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sds_perp_neg_branch_runs_and_grads():
     from garmentdreamer_tpu.guidance import (
         AutoencoderKL, SDSConfig, SDSGuidance, UNet2DCondition, UNetConfig, VAEConfig,

@@ -141,6 +141,7 @@ class TestRasterize:
         val = float(img[ys[i], xs[i], 0])
         assert 0.9 < val < 4.1
 
+    @pytest.mark.slow
     def test_antialias_mask_gradient_matches_fd(self):
         """The analytic d(sum aa_mask)/d(translate) and /d(scale) must match
         finite differences at generic (non-pixel-aligned) offsets. Exactly

@@ -60,6 +60,7 @@ def test_projection_center_gaussian():
     assert (np.asarray(proj.radii) > 0).all()
 
 
+@pytest.mark.slow
 def test_binning_covers_gaussian_footprint():
     st = _random_scene(50)
     c = _camera()
@@ -89,6 +90,7 @@ def test_tiled_matches_brute():
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tiled_gradients_match_brute():
     st = _random_scene(120, seed=2)
     c = _camera()
@@ -117,6 +119,7 @@ def test_tiled_gradients_match_brute():
     assert np.abs(np.asarray(g_t.xyz)).max() > 0  # gradients actually flow
 
 
+@pytest.mark.slow
 def test_inactive_rows_contribute_nothing():
     st_small = _random_scene(80, seed=3)
     st_padded = _random_scene(80, seed=3, cap=256)
@@ -141,6 +144,7 @@ def test_background_blending():
     np.testing.assert_allclose(np.asarray(out["alpha"]), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_screen_offset_gradient_is_viewspace_grad():
     st = _random_scene(60, seed=4)
     c = _camera()

@@ -171,6 +171,7 @@ class TestColmap:
 
 
 class TestLPIPS:
+    @pytest.mark.slow
     def test_identical_is_zero_and_differs_for_noise(self):
         from garmentdreamer_tpu.splat.lpips import LPIPS
 
