@@ -58,11 +58,12 @@ class UNetConfig:
     lora_rank: Optional[int] = None
     extra_emb_dim: Optional[int] = None  # camera/shading conditioning width
     dtype: jnp.dtype = jnp.float32  # compute dtype
-    # Pallas flash attention for LONG self-attention (>= 1024 tokens, i.e.
-    # the 64^2/32^2 latent blocks): O(n) memory, no materialized (n, n)
-    # score matrix round-tripping HBM. Cross-attention (77 kv tokens) and
-    # short sequences keep the einsum path; CPU (tests) always falls back.
-    flash_attention: bool = True
+    # Pallas flash attention for LONG self-attention. MEASURED SLOWER on
+    # v5e at SD-2.1 shapes (B=8, 5 heads, 4096 tokens, head_dim 64: 152 ms
+    # vs 71 ms einsum UNet forward, scripts/profile_guidance2.py) -- XLA's
+    # fused softmax(QK^T)V wins at these small head counts, so the default
+    # is OFF; the knob stays for larger-resolution experiments.
+    flash_attention: bool = False
     flash_min_seq: int = 1024
 
     @staticmethod
