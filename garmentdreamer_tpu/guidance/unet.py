@@ -25,6 +25,8 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from garmentdreamer_tpu.core.fused_gn import FusedGroupNorm
 import jax
 import jax.numpy as jnp
 
@@ -260,7 +262,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = FusedGroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
@@ -290,12 +292,12 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         c_in = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = FusedGroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if c_in != self.out_channels:
@@ -402,7 +404,7 @@ class UNet2DCondition(nn.Module):
             if i < len(cfg.up_block_types) - 1:
                 h = Upsample(ch, dtype=dt, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-5, dtype=dt, name="norm_out")(h)
+        h = FusedGroupNorm(num_groups=cfg.norm_groups, epsilon=1e-5, dtype=dt, name="norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(h)
         return h.astype(jnp.float32)

@@ -14,6 +14,8 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+
+from garmentdreamer_tpu.core.fused_gn import FusedGroupNorm
 import jax
 import jax.numpy as jnp
 
@@ -49,10 +51,10 @@ class VaeResnet(nn.Module):
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = FusedGroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if c_in != self.out_channels:
@@ -68,7 +70,7 @@ class VaeSelfAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = FusedGroupNorm(num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -98,7 +100,7 @@ class Encoder(nn.Module):
         h = VaeResnet(ch, cfg.norm_groups, dt, name="mid_res_0")(h)
         h = VaeSelfAttention(cfg.norm_groups, dt, name="mid_attn")(h)
         h = VaeResnet(ch, cfg.norm_groups, dt, name="mid_res_1")(h)
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6, dtype=dt, name="norm_out")(h)
+        h = FusedGroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6, dtype=dt, name="norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(h)
         # diffusers applies a 1x1 quant_conv on [mean ++ logvar]
@@ -127,7 +129,7 @@ class Decoder(nn.Module):
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
                 h = nn.Conv(cc, (3, 3), padding=1, dtype=dt, name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6, dtype=dt, name="norm_out")(h)
+        h = FusedGroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6, dtype=dt, name="norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(h)
         return h.astype(jnp.float32)

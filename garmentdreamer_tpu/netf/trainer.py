@@ -45,6 +45,8 @@ from garmentdreamer_tpu.netf.cameras import (
 from garmentdreamer_tpu.netf.export import export_textured_mesh
 from garmentdreamer_tpu.netf.renderer import TextureField, clean_mesh, render_textured
 
+from garmentdreamer_tpu.core.xla_opts import conv_jit
+
 __all__ = ["NeTFConfig", "NeTFTrainer"]
 
 
@@ -229,7 +231,7 @@ class NeTFTrainer:
         # constants; see SDSGuidance.__call__ params contract)
         sd_params = {"unet": guidance.unet_params, "vae": guidance.vae_params}
 
-        @jax.jit
+        @conv_jit
         def vsd_step(params, pose, pose16, q_params, rng, sd_p):
             def loss_fn(p):
                 out = render_textured(
@@ -245,7 +247,7 @@ class NeTFTrainer:
             (loss, latents), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             return grads, loss, latents
 
-        @jax.jit
+        @conv_jit
         def lora_step(q_params, lora_opt_state, latents, pose16, rng):
             def loss_fn(qp):
                 return guidance.lora_loss(
@@ -304,7 +306,7 @@ class NeTFTrainer:
         opt = self.tex_opt
         init_params = jax.tree_util.tree_map(lambda x: x, self.tex_params)
 
-        @jax.jit
+        @conv_jit
         def if2_step(params, pose, azim, rng):
             ori = render_textured(
                 init_params, verts, faces, pose, proj, res, res, field,

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from .raft_decoder import RaftDecoderConfig, RaftDepthNormalDecoder
 from .vit import DinoViT, ViTConfig
 
+from garmentdreamer_tpu.core.xla_opts import conv_jit
+
 __all__ = ["NormalEstimatorConfig", "NormalEstimator", "init_params", "make_apply"]
 
 
@@ -65,7 +67,7 @@ def make_apply(cfg: NormalEstimatorConfig):
     """Jitted ``(params, batch NHWC) -> outputs`` forward."""
     model = NormalEstimator(cfg)
 
-    @jax.jit
+    @conv_jit
     def apply(params, img):
         return model.apply(params, img)
 

@@ -31,6 +31,8 @@ import numpy as np
 from .model import NormalEstimatorConfig, NormalEstimator, init_params
 from .preprocess import postprocess_normal, preprocess_rgb
 
+from garmentdreamer_tpu.core.xla_opts import conv_jit
+
 __all__ = ["estimate_normals"]
 
 
@@ -70,7 +72,7 @@ def estimate_normals(
     else:
         params = init_params(cfg, jax.random.PRNGKey(0))
 
-    @jax.jit
+    @conv_jit
     def forward(p, img):
         out = model.apply(p, img)
         # first-iteration normal (do_test.py:271-273 reads normal_out_list[0])

@@ -55,6 +55,8 @@ from garmentdreamer_tpu.splat.render import (
 )
 from garmentdreamer_tpu.splat.template import template_point_cloud
 
+from garmentdreamer_tpu.core.xla_opts import conv_jit
+
 __all__ = ["GaussianDreamerConfig", "GaussianDreamerSystem", "binary_cross_entropy"]
 
 
@@ -326,7 +328,7 @@ class GaussianDreamerSystem:
         pcfg = self.prompt_cfg
         use_perp_neg = bool(pcfg is not None and pcfg.use_perp_neg)
 
-        @jax.jit
+        @conv_jit
         def guidance_grads(g_params, images, depth, elevation, azimuth, rng,
                            grad_clip_val, lambdas):
             if use_perp_neg:

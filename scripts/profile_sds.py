@@ -117,6 +117,16 @@ def main():
     time_loop(lambda x: venc_grad(vp, x, jax.random.key(0)), [(x,) for x in imgs],
               name="vae_enc_fwdbwd_b4_512", iters=8)
 
+    # A/B: same program with the space-to-batch pass disabled (core/xla_opts;
+    # round-3 finding -- the s2b rewrite drowns the encoder in layout copies)
+    from garmentdreamer_tpu.core.xla_opts import conv_jit
+
+    venc_grad_opt = conv_jit(
+        lambda p, x, r: jax.grad(venc_loss, argnums=1)(p, x, r).sum()
+    )
+    time_loop(lambda x: venc_grad_opt(vp, x, jax.random.key(0)),
+              [(x,) for x in imgs], name="vae_enc_fwdbwd_b4_512_no_s2b", iters=8)
+
     # ---- the three production programs ---------------------------------
     guidance = SDSGuidance(
         SDSConfig(latent_size=64, image_size=512, guidance_scale=100.0),
