@@ -294,7 +294,9 @@ def deformation(
             jnp.asarray(mvps[vi]),
             jnp.asarray(targets["mask"][vi]),
         )
-        if not nd_warned and int(nd) > 0:
+        # sample the drop canary every 50 iters: int(nd) is a device sync,
+        # and one per iteration stalls the async dispatch queue
+        if not nd_warned and (it == 1 or it % 50 == 0) and int(nd) > 0:
             print(
                 f"[deformer] stage-1 it {it}: {int(nd)} triangle instances "
                 "dropped by rasterizer caps -- raise max_tiles_per_tri/"
@@ -351,7 +353,7 @@ def deformation(
             jnp.asarray(targets["rgb"][vi]),
             vis, sub,
         )
-        if not nd_warned and int(nd) > 0:
+        if not nd_warned and it % 50 == 0 and int(nd) > 0:
             print(
                 f"[deformer] stage-2 it {it}: {int(nd)} triangle instances "
                 "dropped by rasterizer caps -- raise max_tiles_per_tri/"

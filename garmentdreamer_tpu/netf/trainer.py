@@ -207,7 +207,10 @@ class NeTFTrainer:
                 jnp.asarray(v["pose"]), jnp.asarray(v["proj"]),
                 jnp.asarray(tgt_rgb), jnp.asarray(tgt_mask),
             )
-            loss = float(l)
+            # sync only on the last step: a float() per iteration would stall
+            # the async dispatch queue (one host round-trip per iter)
+            if it == cfg.fit_tex_iters - 1:
+                loss = float(l)
         if save:
             self.export(os.path.join(self.outdir, "final_mesh_fitted_texture.obj"))
         return loss

@@ -50,8 +50,14 @@ def estimate_normals(
     dtype: jnp.dtype = jnp.bfloat16,
     cfg: Optional[NormalEstimatorConfig] = None,
     limit: Optional[int] = None,
+    mesh_devices: int = 0,
 ) -> str:
-    """Run stage 2 over a directory of RGBA renders; returns ``out_dir``."""
+    """Run stage 2 over a directory of RGBA renders; returns ``out_dir``.
+
+    ``mesh_devices`` > 0 shards the view batch over a 'data' mesh (pure
+    inference DP: params replicated, batch axis split -- the TPU equivalent
+    of the reference's disabled-by-default DDP path, test_scale_cano.py:
+    101-137); batch_size is rounded up to a multiple of the mesh size."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
@@ -72,11 +78,28 @@ def estimate_normals(
     else:
         params = init_params(cfg, jax.random.PRNGKey(0))
 
+    mesh = None
+    if mesh_devices:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from garmentdreamer_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh(mesh_devices)
+        batch_size = max(batch_size, mesh_devices)
+        batch_size -= batch_size % mesh_devices
+        batch_sharding = NamedSharding(mesh, P("data"))
+
     @conv_jit
     def forward(p, img):
         out = model.apply(p, img)
         # first-iteration normal (do_test.py:271-273 reads normal_out_list[0])
         return out["normal_out_list"][0].astype(jnp.float32)
+
+    def run_forward(p, batch_np):
+        x = jnp.asarray(batch_np)
+        if mesh is not None:
+            x = jax.device_put(x, batch_sharding)
+        return forward(p, x)
 
     # static-shape batches: pad the tail batch and crop after
     for start in range(0, len(names), batch_size):
@@ -90,7 +113,7 @@ def estimate_normals(
         if len(chunk) < batch_size:
             pad = batch_size - len(chunk)
             batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
-        normals = np.asarray(forward(params, jnp.asarray(batch)))
+        normals = np.asarray(run_forward(params, batch))
         for i, n in enumerate(chunk):
             rgba = postprocess_normal(normals[i], views[i].pad, masks[i])
             Image.fromarray(np.clip(rgba, 0, 255).astype(np.uint8), "RGBA").save(

@@ -128,8 +128,9 @@ def generate_3dgs(
 
 
 def estimate_normal(save_dir: str, checkpoint: Optional[str] = None,
-                    batch_size: int = 4, tiny: bool = False) -> str:
-    """Stage 2."""
+                    batch_size: int = 4, tiny: bool = False,
+                    mesh_devices: int = 0) -> str:
+    """Stage 2. ``mesh_devices`` view-DPs the 407 forwards over the mesh."""
     from garmentdreamer_tpu.normal import NormalEstimatorConfig, estimate_normals
 
     cfg = NormalEstimatorConfig.tiny() if tiny else None
@@ -139,6 +140,7 @@ def estimate_normal(save_dir: str, checkpoint: Optional[str] = None,
         checkpoint=checkpoint,
         batch_size=batch_size,
         cfg=cfg,
+        mesh_devices=mesh_devices,
     )
 
 
@@ -282,6 +284,7 @@ def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
         estimate_normal(
             save_dir, checkpoint=args.metric3d_checkpoint,
             tiny=args.model_scale == "tiny",
+            mesh_devices=args.mesh,
         )
     timings["stage2_normal"] = time.time() - t0
 

@@ -20,3 +20,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert len(jax.devices()) == 8, jax.devices()
+
+# Persistent compilation cache (core/compile_cache.py): XLA-CPU compiles
+# dominate the suite's wall clock (UNet/VAE/CLIP/ViT programs recompile every
+# run); with the cache the per-commit fast pass only pays for programs whose
+# HLO actually changed. Cache keys include the platform, so CPU test entries
+# coexist with the chip entries bench.py writes.
+from garmentdreamer_tpu.core.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -13,6 +13,7 @@ from garmentdreamer_tpu.core.callbacks import (
 )
 
 
+@pytest.mark.slow
 def test_code_snapshot_copies_tracked_files(tmp_path):
     out = save_code_snapshot(str(tmp_path / "code"), repo_root="/root/repo")
     assert out is not None

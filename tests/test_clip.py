@@ -63,6 +63,7 @@ def test_clip_parity_vs_transformers(act):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_clip_converter_matches_init_tree():
     hf = _torch_tiny()
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}

@@ -110,6 +110,7 @@ def unet_rules(fpath, shape):
 
 
 class TestUNetConvert:
+    @pytest.mark.slow
     def test_roundtrip_tiny(self):
         cfg = UNetConfig.tiny()
         unet = UNet2DCondition(cfg)
@@ -194,6 +195,7 @@ def vae_rules(fpath, shape):
 
 
 class TestVAEConvert:
+    @pytest.mark.slow
     def test_roundtrip_tiny(self):
         cfg = VAEConfig.tiny()
         vae = AutoencoderKL(cfg)

@@ -127,6 +127,7 @@ def test_capacity_overflow_counted():
     assert int(res.state.n_active()) == 22
 
 
+@pytest.mark.slow
 def test_optimizer_moment_surgery():
     st = _state(n=8, cap=16)
     opt = make_optimizer(GaussianOptimConfig())

@@ -40,6 +40,7 @@ def _proj(n=350, H=64, W=64, seed=0, inflate=0):
 BG = jnp.ones(3, jnp.float32)
 
 
+@pytest.mark.slow
 def test_two_class_expansion_matches_single_class():
     proj, H, W = _proj(inflate=20)
     c0, a0, d0, nd0, _nh = rasterize_tiled(proj, H, W, BG, max_tiles_per_gaussian=64,

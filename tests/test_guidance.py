@@ -63,6 +63,7 @@ def test_view_direction_index():
     assert list(idx) == [0, 1, 2, 3, 2]  # side, front, back, overhead, back
 
 
+@pytest.mark.slow
 def test_unet_tiny_shapes_and_determinism():
     cfg = UNetConfig.tiny()
     model = UNet2DCondition(cfg)
@@ -80,6 +81,7 @@ def test_unet_tiny_shapes_and_determinism():
     assert np.abs(np.asarray(y3 - y)).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_unet_lora_init_is_identity():
     cfg = UNetConfig.tiny()
     lora_cfg = UNetConfig(

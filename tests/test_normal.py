@@ -203,3 +203,31 @@ class TestStage2EndToEnd:
             # alpha channel carries the render mask
             src = np.asarray(Image.open(render_dir / f"{i}.png"))
             np.testing.assert_array_equal(img[..., 3], src[..., 3])
+
+    def test_estimate_normals_mesh_matches_single(self, tmp_path):
+        """View-DP over the 8-device mesh (pipeline --mesh) writes the same
+        normal maps as single-device execution (inference DP: no collectives
+        touch per-view math)."""
+        from PIL import Image
+
+        render_dir = tmp_path / "gs_rendered_rgba"
+        render_dir.mkdir()
+        rs = np.random.RandomState(1)
+        for i in range(3):
+            rgba = rs.randint(0, 255, (64, 64, 4), np.uint8)
+            rgba[..., 3] = (rgba[..., 3] > 128) * 255
+            Image.fromarray(rgba, "RGBA").save(render_dir / f"{i}.png")
+
+        estimate_normals(
+            str(render_dir), str(tmp_path / "out_single"),
+            batch_size=2, cfg=NormalEstimatorConfig.tiny(),
+        )
+        estimate_normals(
+            str(render_dir), str(tmp_path / "out_mesh"),
+            batch_size=2, cfg=NormalEstimatorConfig.tiny(), mesh_devices=8,
+        )
+        for i in range(3):
+            a = np.asarray(Image.open(tmp_path / "out_single" / f"{i}.png"))
+            b = np.asarray(Image.open(tmp_path / "out_mesh" / f"{i}.png"))
+            # uint8-quantized normals: allow 1 lsb for reduction-order ulps
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

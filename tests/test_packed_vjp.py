@@ -199,11 +199,14 @@ def test_split_program_backward_matches_custom_vjp():
 
 
 def test_packed_vjp_bg_gradient():
-    proj, H, W = _proj()
+    # bg enters the compositor linearly (dL/dbg = sum of per-pixel final
+    # transmittance cotangents), so a small scene exercises the routing fully;
+    # interpret-mode cost scales with tiles x windows, keep it 32^2
+    proj, H, W = _proj(n=120, H=32, W=32)
 
     def loss_bg(bg):
         cc, aa, dd, _ = rasterize_packed_diff(
-            proj, H, W, bg, classes=((8, None), (64, 512)), max_per_tile=128
+            proj, H, W, bg, classes=((8, None), (64, 256)), max_per_tile=128
         )
         return (cc * 0.3).sum()
 

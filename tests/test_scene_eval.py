@@ -183,6 +183,7 @@ class TestLPIPS:
         y = jnp.clip(x + 0.3, 0, 1)
         assert float(m.apply(p, x, y)[0]) > 0
 
+    @pytest.mark.slow
     def test_converter_tree_matches_init(self):
         from garmentdreamer_tpu.splat.lpips import (
             LPIPS,

@@ -54,6 +54,7 @@ def test_strip_render_tiles_full_image():
     assert (a[:, H // S :] > 0.1).mean() > 0.02
 
 
+@pytest.mark.slow
 def test_strip_cameras_preserve_radii():
     """Radii/covariances must not depend on the strip (frustum clamp pinned
     via lim_xy), so densification stats stay per-view consistent."""

@@ -18,6 +18,7 @@ def _free_port():
     return p
 
 
+@pytest.mark.slow
 def test_viewer_serves_sibr_protocol():
     import jax.numpy as jnp
 
