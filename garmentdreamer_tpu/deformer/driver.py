@@ -30,10 +30,13 @@ configs/garment_deformer_configs.yml). Structure preserved:
   deformer/utils/io.py:18-37).
 
 TPU design notes: each iteration is ONE jitted step (render + all losses +
-grads + optimizer update) with static shapes; the 407-view target set stays in
-host RAM and one view's targets stream to the device per step; visibility uses
-a 2x-supersampled face-id pass (see rast/gbuffer.py docstring for the 8x->2x
-rationale).
+grads + optimizer update) with static shapes; the view target stacks are
+uploaded to HBM once and indexed by view id inside the step (passed as jit
+ARGUMENTS -- closure constants of that size are rejected by the remote
+compile service); the frozen reference-mesh G-buffers used by hole_mask are
+rendered once per topology epoch (compute_rf_stack), not per iteration;
+visibility uses a 2x-supersampled face-id pass (see rast/gbuffer.py docstring
+for the 8x->2x rationale).
 """
 
 from __future__ import annotations
@@ -170,6 +173,14 @@ def deformation(
     Rs = np.stack([v.R for v in views]).astype(np.float32)
     targets = _stack_view_arrays(views)
 
+    # Per-view targets live on DEVICE, indexed by view id inside the jitted
+    # steps: streaming a 1024^2 target per iteration is a ~4-28 MB
+    # host->device copy that stalls the dispatch queue every step (the
+    # reference keeps all views resident on the GPU too, deformation.py:96).
+    mvps_d = jnp.asarray(mvps)
+    centers_d = jnp.asarray(centers)
+    Rs_d = jnp.asarray(Rs)
+
     faces = jnp.asarray(topo.faces)
     edges = jnp.asarray(topo.edges)
     degree = jnp.asarray(topo.degree)
@@ -190,9 +201,17 @@ def deformation(
 
     w_mask1, w_nc1, w_lap1 = cfg.first_stage_weights
 
+    # big per-view stacks enter the jitted steps as ARGUMENTS -- closed-over
+    # device arrays are baked into the HLO as constants and the axon remote
+    # compile service rejects multi-GB programs
+    masks_d = jnp.asarray(targets["mask"])  # (V_views, H, W, 1)
+
     # ---- stage-1 jitted step ----
     @jax.jit
-    def step1(offsets, opt_state, mvp, tgt_mask):
+    def step1(offsets, opt_state, vi, masks):
+        mvp = mvps_d[vi]
+        tgt_mask = masks[vi]
+
         def loss_fn(off):
             verts = v0 + off
             vn = vertex_normals(verts, faces, V)
@@ -222,15 +241,39 @@ def deformation(
         "shading": cfg.weight_shading,
     }
 
-    def make_step2(lr_vertices: float, w_lap: float, w_nc: float):
+    def compute_rf_stack(rf_verts, picked):
+        """Reference-mesh G-buffers for the picked views, rendered ONCE.
+
+        The reference re-renders its frozen stage-1 mesh every iteration
+        (deformation.py:263-268 inside the loop); rf_verts and the picked
+        cameras are constant between remeshes, so this is a pure cache --
+        ~24 renders instead of 1000, and the stage-2 step drops a full
+        G-buffer pass."""
+        rf_vn = vertex_normals(rf_verts, faces, int(rf_verts.shape[0]))
+
         @jax.jit
-        def step2(offsets, rf_verts, sh_params, sh_opt_state, mvp, cam_R, cam_c,
-                  tgt_mask, tgt_normal, tgt_rgb, vis, key):
-            rf_vn = vertex_normals(rf_verts, faces, V)
-            g_rf = jax.lax.stop_gradient(
+        def one(mvp):
+            return jax.lax.stop_gradient(
                 render_gbuffer(rf_verts, faces, rf_vn, mvp, H, W,
                                cfg.max_tiles_per_tri, cfg.max_per_tile)
             )
+
+        outs = [one(mvps_d[i]) for i in picked]
+        return {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+
+    def make_step2(lr_vertices: float, w_lap: float, w_nc: float, picked):
+        picked_d = jnp.asarray(np.asarray(picked, np.int32))
+
+        @jax.jit
+        def step2(offsets, sh_params, sh_opt_state, pi, vis, key, tgt, grf):
+            vi = picked_d[pi]
+            mvp = mvps_d[vi]
+            cam_R = Rs_d[vi]
+            cam_c = centers_d[vi]
+            tgt_mask = tgt["mask"][vi]
+            tgt_normal = tgt["normal"][pi]
+            tgt_rgb = tgt["rgb"][pi]
+            g_rf = jax.tree_util.tree_map(lambda a: a[pi], grf)
 
             def loss_fn(off, sp):
                 verts = v0 + off
@@ -289,10 +332,7 @@ def deformation(
     for it in range(1, cfg.iterations_first + 1):
         vi = int(rng.choice(view_pool1))
         offsets, vertex_opt_state, loss, nd = step1(
-            offsets,
-            vertex_opt_state,
-            jnp.asarray(mvps[vi]),
-            jnp.asarray(targets["mask"][vi]),
+            offsets, vertex_opt_state, jnp.uint32(vi), masks_d
         )
         # sample the drop canary every 50 iters: int(nd) is a device sync,
         # and one per iteration stalls the async dispatch queue
@@ -311,7 +351,13 @@ def deformation(
     view_pool2 = [i for i in cfg.picked_views_second if i < len(views)] or view_pool1
     lr_v = cfg.lr_vertices
     w_lap, w_nc = cfg.weight_laplacian, cfg.weight_normal_consistency
-    step2 = make_step2(lr_v, w_lap, w_nc)
+    grf_stack = compute_rf_stack(rf_verts, view_pool2)
+    targets2_d = {
+        "mask": masks_d,
+        "normal": jnp.asarray(targets["normal"][list(view_pool2)]),
+        "rgb": jnp.asarray(targets["rgb"][list(view_pool2)]),
+    }
+    step2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
     key = jax.random.PRNGKey(cfg.seed)
 
     total_second = cfg.iterations_first + cfg.iterations_second
@@ -334,24 +380,21 @@ def deformation(
             w_lap *= 4
             w_nc *= 4
             lr_v *= 0.25
-            step2 = make_step2(lr_v, w_lap, w_nc)
+            grf_stack = compute_rf_stack(rf_verts, view_pool2)
+            step2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
 
-        vi = int(rng.choice(view_pool2))
-        mvp_d = jnp.asarray(mvps[vi])
+        pi = int(rng.choice(len(view_pool2)))
+        vi = view_pool2[pi]
         verts_now = v0 + offsets
         vis = vertex_visibility(
-            verts_now, faces, mvp_d[None], H, W, int(verts_now.shape[0]),
+            verts_now, faces, mvps_d[vi][None], H, W, int(verts_now.shape[0]),
             cfg.visibility_upsample, cfg.max_tiles_per_tri, cfg.max_per_tile,
         ) if cfg.optim_only_visible else jnp.ones((verts_now.shape[0],), bool)
 
         key, sub = jax.random.split(key)
         offsets, shader_params, shader_opt_state, loss, nd = step2(
-            offsets, rf_verts, shader_params, shader_opt_state,
-            mvp_d, jnp.asarray(Rs[vi]), jnp.asarray(centers[vi]),
-            jnp.asarray(targets["mask"][vi]),
-            jnp.asarray(targets["normal"][vi]),
-            jnp.asarray(targets["rgb"][vi]),
-            vis, sub,
+            offsets, shader_params, shader_opt_state, jnp.uint32(pi), vis, sub,
+            targets2_d, grf_stack,
         )
         if not nd_warned and it % 50 == 0 and int(nd) > 0:
             print(

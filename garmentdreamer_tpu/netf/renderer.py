@@ -9,8 +9,10 @@ TPU-native rebuild of the reference renderer
 * alpha is the antialiased coverage ("important to enable gradients",
   :362-363);
 * albedo = sigmoid(mlp(encoder(xyz))) at interpolated WORLD positions
-  (:368-374) -- here the query runs over the full pixel grid (masked), which
-  on TPU is cheaper than gather/scatter of a dynamic pixel subset;
+  (:368-374) -- render_textured queries the full pixel grid (masked), which
+  the VSD path needs (the whole image feeds the VAE); the texture FIT uses
+  render_fit_samples with a per-step pixel budget instead (see its
+  docstring for the measured TPU row-cost rationale);
 * normals recomputed from geometry when it is unfrozen (:382-399);
 * view-cosine mask for 'outside surface' pixels, no_grad (:402-407);
 * mesh cleaning on load (weld + drop tiny components) == kiui clean_mesh
@@ -31,7 +33,7 @@ from garmentdreamer_tpu.meshops.mesh import vertex_normals
 from garmentdreamer_tpu.rast import antialias, barycentrics, interpolate, rasterize
 from garmentdreamer_tpu.texture.encoders import HashGridConfig, HashGridEncoder, MLP
 
-__all__ = ["TextureField", "render_textured", "clean_mesh"]
+__all__ = ["TextureField", "render_textured", "render_fit_samples", "clean_mesh"]
 
 
 class TextureField:
@@ -153,4 +155,56 @@ def render_textured(
         "normal": (normal + 1.0) / 2.0,
         "cosinesview": cosv,
         "face_id": fid,
+    }
+
+
+def render_fit_samples(
+    tex_params,
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    pose: jnp.ndarray,  # (4,4) OpenGL c2w
+    proj: jnp.ndarray,  # (4,4)
+    height: int,
+    width: int,
+    texture_field: "TextureField",
+    pix_idx: jnp.ndarray,  # (Q,) flat pixel indices into the H*W image
+    max_tiles_per_tri: int = 32,
+    max_per_tile: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """Texture-fit forward restricted to ``pix_idx`` sampled pixels.
+
+    The full-image fit (render_textured) queries the hash grid at every
+    pixel: at 1024^2 that is 1M x 16 levels x 8 corners = 134M table rows per
+    direction, and on TPU gathers/scatters cost ~2.6/~40 ns per ROW
+    (scripts/probe_gather_width.py) -- the field lookup alone made a fit
+    iteration ~10 s. Fitting on a random pixel subset per step is the same
+    objective in expectation (the reference's own shading loss samples 75% of
+    valid pixels, deformer/losses/shading.py); geometry passes stay full-res,
+    only the field query and the loss are sampled. Deviation: sampled pixels
+    use hard coverage instead of antialiased edges (~0.3% of pixels).
+    """
+    vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=1)
+    v_cam = vh @ jnp.linalg.inv(pose).T
+    clip = v_cam @ proj.T
+
+    rast = rasterize(clip, faces, height, width, max_tiles_per_tri, max_per_tile)
+    fid_s = rast.face_id.reshape(-1)[pix_idx]  # (Q,)
+    bary_full = barycentrics(clip, faces, rast.face_id, height, width)
+    bary_s = bary_full.reshape(-1, 3)[pix_idx]
+
+    xyz_s = interpolate(verts, faces, fid_s, bary_s)  # (Q,3)
+    albedo_s = texture_field.query(tex_params, xyz_s)  # (Q,3)
+
+    vn = vertex_normals(verts, faces)
+    nrm_s = interpolate(vn, faces, fid_s, bary_s)
+    vd = jax.lax.stop_gradient(xyz_s) - pose[:3, 3]
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-8)
+    cos_s = jnp.sum(vd * nrm_s, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(nrm_s, axis=-1), 1e-6
+    )
+
+    return {
+        "albedo": albedo_s,
+        "valid": fid_s >= 0,
+        "cosinesview": jax.lax.stop_gradient(cos_s),
     }

@@ -43,7 +43,9 @@ from garmentdreamer_tpu.netf.cameras import (
     reconstruction_pose,
 )
 from garmentdreamer_tpu.netf.export import export_textured_mesh
-from garmentdreamer_tpu.netf.renderer import TextureField, clean_mesh, render_textured
+from garmentdreamer_tpu.netf.renderer import (
+    TextureField, clean_mesh, render_fit_samples, render_textured,
+)
 
 from garmentdreamer_tpu.core.xla_opts import conv_jit
 
@@ -65,6 +67,10 @@ class NeTFConfig:
     mlp_lr: float = 1e-3
     unet_lr: float = 1e-4
     batch_size_train: int = 4  # grad accumulation period
+    # texture-fit pixel sample budget per step (0 = full image). Sampling is
+    # the TPU answer to the hash-grid row costs (renderer.render_fit_samples
+    # docstring); 2^18 = a quarter of the 1024^2 fit render.
+    fit_pixel_budget: int = 1 << 18
     K: int = 1
     K2: int = 1
     uncond_p: float = 0.1
@@ -169,22 +175,59 @@ class NeTFTrainer:
         verts, faces = self.verts, self.faces
         opt = self.tex_opt
 
+        # Upload all view targets ONCE (pre-flipped, flattened): per-iter
+        # jnp.asarray of a 1024^2 target is a ~16 MB host->device copy that
+        # stalls the dispatch queue every step. Targets are indexed on device
+        # by view id instead.
+        def _down(img):
+            if img.shape[0] != res:
+                idx = (np.arange(res) / (res / img.shape[0])).astype(int)
+                img = img[idx][:, idx]
+            return np.flipud(img)
+
+        rgb_stack = jnp.asarray(
+            np.stack([_down(v["rgb"]).reshape(res * res, 3) for v in views])
+        )
+        mask_stack = jnp.asarray(
+            np.stack([_down(v["mask"]).reshape(res * res) for v in views])
+        )
+        poses = jnp.asarray(np.stack([v["pose"] for v in views]))
+        projs = jnp.asarray(np.stack([v["proj"] for v in views]))
+
+        n_pix = res * res
+        Q = cfg.fit_pixel_budget or n_pix
+        sampled = Q < n_pix
+
         @jax.jit
-        def step(params, opt_state, pose, proj, tgt_rgb, tgt_mask):
+        def step(params, opt_state, vi, key):
+            pose, proj = poses[vi], projs[vi]
+            tgt_rgb_f, tgt_mask_f = rgb_stack[vi], mask_stack[vi]
+
             def loss_fn(p):
-                out = render_textured(
-                    p, verts, faces, pose, proj, res, res, field,
-                    max_tiles_per_tri=cfg.max_tiles_per_tri,
-                    max_per_tile=cfg.max_per_tile,
-                )
-                # valid: alpha>0 & flipud(view mask)>0 & cos<=0
-                # (mesh_renderer.py:228-230)
-                m = (
-                    (out["alpha"][..., 0] > 0)
-                    & (jnp.flipud(tgt_mask) > 0)
-                    & (out["cosinesview"] <= 0)
-                )
-                diff = (out["image"] - jnp.flipud(tgt_rgb)) ** 2
+                if sampled:
+                    pix = jax.random.randint(key, (Q,), 0, n_pix)
+                    out = render_fit_samples(
+                        p, verts, faces, pose, proj, res, res, field, pix,
+                        max_tiles_per_tri=cfg.max_tiles_per_tri,
+                        max_per_tile=cfg.max_per_tile,
+                    )
+                    m = (out["valid"] & (tgt_mask_f[pix] > 0)
+                         & (out["cosinesview"] <= 0))
+                    diff = (out["albedo"] - tgt_rgb_f[pix]) ** 2
+                else:
+                    out = render_textured(
+                        p, verts, faces, pose, proj, res, res, field,
+                        max_tiles_per_tri=cfg.max_tiles_per_tri,
+                        max_per_tile=cfg.max_per_tile,
+                    )
+                    # valid: alpha>0 & flipud(view mask)>0 & cos<=0
+                    # (mesh_renderer.py:228-230)
+                    m = (
+                        (out["alpha"].reshape(-1) > 0)
+                        & (tgt_mask_f > 0)
+                        & (out["cosinesview"].reshape(-1) <= 0)
+                    )
+                    diff = (out["image"].reshape(-1, 3) - tgt_rgb_f.reshape(-1, 3)) ** 2
                 denom = jnp.maximum(jnp.sum(m), 1) * 3
                 return jnp.sum(jnp.where(m[..., None], diff, 0.0)) / denom
 
@@ -194,18 +237,10 @@ class NeTFTrainer:
 
         loss = 0.0
         for it in range(cfg.fit_tex_iters):
-            v = views[self.np_rng.randint(len(views))]
-            tgt_rgb = v["rgb"]
-            tgt_mask = v["mask"]
-            if tgt_rgb.shape[0] != res:
-                sc = res / tgt_rgb.shape[0]
-                idx = (np.arange(res) / sc).astype(int)
-                tgt_rgb = tgt_rgb[idx][:, idx]
-                tgt_mask = tgt_mask[idx][:, idx]
+            self.rng, sub = jax.random.split(self.rng)
+            vi = jnp.uint32(self.np_rng.randint(len(views)))
             self.tex_params, self.tex_opt_state, l = step(
-                self.tex_params, self.tex_opt_state,
-                jnp.asarray(v["pose"]), jnp.asarray(v["proj"]),
-                jnp.asarray(tgt_rgb), jnp.asarray(tgt_mask),
+                self.tex_params, self.tex_opt_state, vi, sub
             )
             # sync only on the last step: a float() per iteration would stall
             # the async dispatch queue (one host round-trip per iter)
@@ -227,8 +262,29 @@ class NeTFTrainer:
         text = self.text_embeddings
         res = cfg.render_resolution
         opt = self.tex_opt
+        # Only the LoRA matrices + camera-conditioning MLP train (reference:
+        # lora_layers = AttnProcsLayers + camera_embedding, trainer.py:
+        # 108-120); the base UNet weights inside q_params stay frozen.
+        # Partitioning the tree (instead of masking) keeps Adam state AND
+        # weight-gradient compute restricted to the small trainable subset --
+        # adam on the full 800M-param copy OOMs a 16GB chip.
+        import flax.traverse_util as tu
+
+        flat_q = tu.flatten_dict(self.q_params)
+
+        def _trainable(path) -> bool:
+            return "lora_down" in path or "lora_up" in path or path[0] == "camera"
+
+        train_p = {k: v for k, v in flat_q.items() if _trainable(k)}
+        frozen_p = {k: v for k, v in flat_q.items() if not _trainable(k)}
+
+        def merge(train, frozen):
+            d = dict(frozen)
+            d.update(train)
+            return tu.unflatten_dict(d)
+
         lora_opt = optax.adam(cfg.unet_lr)
-        lora_opt_state = lora_opt.init(self.q_params)
+        lora_opt_state = lora_opt.init(train_p)
 
         # frozen SD weights enter jit as an argument (not multi-GB captured
         # constants; see SDSGuidance.__call__ params contract)
@@ -251,15 +307,27 @@ class NeTFTrainer:
             return grads, loss, latents
 
         @conv_jit
-        def lora_step(q_params, lora_opt_state, latents, pose16, rng):
-            def loss_fn(qp):
+        def lora_step(train, frozen, lora_opt_state, latents, pose16, rng):
+            def loss_fn(tr):
                 return guidance.lora_loss(
-                    qp, latents, text[:1], pose16, rng, cfg.uncond_p
+                    merge(tr, frozen), latents, text[:1], pose16, rng,
+                    cfg.uncond_p,
                 )
 
-            loss, grads = jax.value_and_grad(loss_fn)(q_params)
+            loss, grads = jax.value_and_grad(loss_fn)(train)
             updates, lora_opt_state = lora_opt.update(grads, lora_opt_state)
-            return optax.apply_updates(q_params, updates), lora_opt_state, loss
+            return optax.apply_updates(train, updates), lora_opt_state, loss
+
+        @jax.jit
+        def tex_accum(accum, grads):
+            return jax.tree_util.tree_map(jnp.add, accum, grads)
+
+        @jax.jit
+        def tex_apply(params, opt_state, accum):
+            updates, opt_state = opt.update(accum, opt_state)
+            params = optax.apply_updates(params, updates)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, accum)
+            return params, opt_state, zeros
 
         accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
         for step_i in range(1, cfg.iters + 1):
@@ -271,23 +339,23 @@ class NeTFTrainer:
 
             self.rng, r1, r2 = jax.random.split(self.rng, 3)
             grads, loss, latents = vsd_step(
-                self.tex_params, pose, pose16, self.q_params, r1, sd_params
+                self.tex_params, pose, pose16, merge(train_p, frozen_p), r1,
+                sd_params,
             )
-            accum = jax.tree_util.tree_map(jnp.add, accum, grads)
+            accum = tex_accum(accum, grads)
             if step_i % cfg.batch_size_train == 0 or step_i == cfg.iters:
-                updates, self.tex_opt_state = self.tex_opt.update(
-                    accum, self.tex_opt_state
+                self.tex_params, self.tex_opt_state, accum = tex_apply(
+                    self.tex_params, self.tex_opt_state, accum
                 )
-                self.tex_params = optax.apply_updates(self.tex_params, updates)
-                accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
 
             if step_i % cfg.K2 == 0:
                 for _ in range(cfg.K):
                     self.rng, r3 = jax.random.split(self.rng)
-                    self.q_params, lora_opt_state, _ = lora_step(
-                        self.q_params, lora_opt_state, latents, pose16, r3
+                    train_p, lora_opt_state, _ = lora_step(
+                        train_p, frozen_p, lora_opt_state, latents, pose16, r3
                     )
 
+        self.q_params = merge(train_p, frozen_p)
         self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))
 
     # ---------------- IF2 refinement (mode: "IF2") -------------------------

@@ -189,6 +189,17 @@ def build_guidance_stack(
         lora_params = lora.init(
             r_lora, x0, t0, c0, extra_emb=jnp.zeros((1, temb))
         )
+        # the reference initializes the LoRA UNet FROM the pretrained SD
+        # weights and trains only the adapter matrices (netf/trainer.py:
+        # 79-120); graft the base leaves so semantics match AND the two
+        # trees share HBM buffers (the base copy is ~3.5 GB f32)
+        import flax.traverse_util as tu
+
+        fl = tu.flatten_dict(lora_params)
+        fu = tu.flatten_dict(unet_params)
+        fl.update({k: v for k, v in fu.items()
+                   if k in fl and fl[k].shape == v.shape})
+        lora_params = tu.unflatten_dict(fl)
         cam = CameraEmb(time_embed_dim=temb)
         cam_params = cam.init(r_cam, jnp.zeros((1, 16)))
 

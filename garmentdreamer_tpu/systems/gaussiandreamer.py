@@ -717,7 +717,13 @@ class GaussianDreamerSystem:
                     _render, mesh=mesh, in_specs=(P("data"),),
                     out_specs=P("data"), check_rep=False,
                 )(cams)
-            return r, a, jnp.sum(nd)
+            # quantize on device: the png bytes are identical (io._to_uint8
+            # applies the same clip*255+truncate) and the host transfer is
+            # 4x smaller -- at 1024^2 the device->host copy dominates the
+            # export loop
+            r8 = jnp.clip(r * 255.0, 0, 255).astype(jnp.uint8)
+            m8 = ((a >= cfg.alpha_threshold) * 255).astype(jnp.uint8)
+            return r8, m8, jnp.sum(nd)
 
         n = ring["elevation"].shape[0]
         cam_entries = []
@@ -729,15 +735,15 @@ class GaussianDreamerSystem:
             pad = chunk - len(idx)
             sel = idx + [idx[-1]] * pad
             cams = {k: jnp.asarray(v[sel]) for k, v in ring["gs_cameras"].items()}
-            rgb, alpha, nd = render_chunk(st.params, st.stats, cams)
+            rgb, mask, nd = render_chunk(st.params, st.stats, cams)
             total_dropped += int(nd)
             rgb = np.asarray(rgb)
-            mask = np.asarray(alpha) >= cfg.alpha_threshold
+            mask = np.asarray(mask)
             for j, i in enumerate(idx):
                 gio.save_rgba_png(
                     os.path.join(save_dir, "gs_rendered_rgba", f"{i}.png"),
                     rgb[j],
-                    mask[j].astype(np.float32),
+                    mask[j],
                 )
                 cam_entries.append(
                     core_cam.camera_json_entry(

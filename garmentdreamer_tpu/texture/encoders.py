@@ -15,6 +15,7 @@ with desired 1024 -> top res 1024. Inputs are mapped (x+bound)/(2*bound) into
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Sequence
 
 import flax.linen as nn
@@ -25,6 +26,67 @@ import numpy as np
 __all__ = ["HashGridConfig", "HashGridEncoder", "FrequencyEncoder", "TriplaneEncoder", "MLP"]
 
 _PRIMES = (1, 2654435761, 805459861)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _table_lookup(flat_table: jnp.ndarray, idx: jnp.ndarray, n_rows: int):
+    """One merged gather for ALL (level, corner) lookups.
+
+    Measured on v5e (scripts/probe_gather_width.py): gather cost is per-ROW
+    (~2.6 ns marginal) with a ~4-5 ms fixed cost PER OP, so 128 separate
+    per-level-per-corner gathers at 1M queries cost ~620 ms while one merged
+    gather of the same rows costs ~340 ms; scatter-add (the autodiff
+    backward) is ~4x the gather per row. The custom VJP exists so the
+    backward variant is pinned (and swappable) rather than whatever autodiff
+    emits per call site."""
+    return flat_table[idx]
+
+
+def _table_lookup_fwd(flat_table, idx, n_rows):
+    return flat_table[idx], idx
+
+
+def _table_lookup_bwd(n_rows, idx, ct):
+    """Table cotangent via wide-row grouped scatter-add.
+
+    Measured (scripts/probe_scatter_variants.py, 16.8M/33.5M rows): the
+    native narrow scatter-add costs ~61 ms per 1M rows and sorted
+    segment_sum is no better; grouping 64 table slots into one 128-lane row
+    (cotangent placed on its lane with an on-the-fly one-hot) cuts that to
+    ~20 ms/M. Chunked so the (chunk, 128) temp stays ~0.5 GB."""
+    (M,) = idx.shape
+    C = ct.shape[-1]
+    g = max(1, 128 // C)
+    n_groups = -(-n_rows // g)
+
+    # chunk size bounds the (CH, 128) one-hot temp at 512 MB f32: a 2 GB
+    # temp measured fine standalone but regressed the SD-scale VSD program
+    # 3x (HBM pressure -> spills) with the UNet/VAE/LoRA resident
+    CH = 1 << 20
+    n_chunks = max(1, -(-M // CH))
+    pad = n_chunks * CH - M
+    if pad:
+        # pad rows scatter zeros into slot 0: harmless for an ADD
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        ct = jnp.concatenate([ct, jnp.zeros((pad, C), ct.dtype)])
+
+    lanes = jnp.arange(g, dtype=idx.dtype)
+
+    def body(acc, args):
+        ic, cc = args
+        row = ic // g
+        oh = ((ic % g)[:, None] == lanes[None, :]).astype(cc.dtype)
+        wide = (oh[:, :, None] * cc[:, None, :]).reshape(-1, g * C)
+        return acc.at[row].add(wide), None
+
+    zero = jnp.zeros((n_groups, g * C), ct.dtype)
+    grad, _ = jax.lax.scan(
+        body, zero, (idx.reshape(n_chunks, -1), ct.reshape(n_chunks, -1, C))
+    )
+    return grad.reshape(n_groups * g, C)[:n_rows], None
+
+
+_table_lookup.defvjp(_table_lookup_fwd, _table_lookup_bwd)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,14 +131,15 @@ class HashGridEncoder(nn.Module):
         table = table - 1e-4  # center the uniform init at 0
 
         u = (x + bound) / (2.0 * bound)  # [0, 1]
-        feats = []
+        # one merged gather for all levels x corners (see _table_lookup):
+        # per-level offsets index the flattened (L*T, C) table
+        idx_all, w_all = [], []
         for lvl in range(c.num_levels):
             res = c.level_resolution(lvl)
             pos = u * res
             p0 = jnp.floor(pos).astype(jnp.int32)
             frac = pos - p0
 
-            level_feats = jnp.zeros((x.shape[0], c.level_dim), table.dtype)
             for corner in range(8):
                 off = jnp.asarray(
                     [(corner >> 0) & 1, (corner >> 1) & 1, (corner >> 2) & 1],
@@ -97,9 +160,19 @@ class HashGridEncoder(nn.Module):
                 w = jnp.prod(
                     jnp.where(off[None, :] == 1, frac, 1.0 - frac), axis=-1
                 )
-                level_feats = level_feats + w[:, None] * table[lvl, idx]
-            feats.append(level_feats)
-        return jnp.concatenate(feats, axis=-1)
+                idx_all.append(idx + lvl * T)
+                w_all.append(w)
+
+        L, N = c.num_levels, x.shape[0]
+        idx_all = jnp.stack(idx_all)  # (L*8, N)
+        w_all = jnp.stack(w_all).astype(table.dtype)  # (L*8, N)
+        vals = _table_lookup(
+            table.reshape(L * T, c.level_dim), idx_all.reshape(-1), L * T
+        ).reshape(L, 8, N, c.level_dim)
+        # weighted corner sum -> (L, N, C) -> (N, L*C), matching the
+        # per-level concat order of the loop formulation
+        feats = (vals * w_all.reshape(L, 8, N)[..., None]).sum(axis=1)
+        return jnp.moveaxis(feats, 0, 1).reshape(N, L * c.level_dim)
 
 
 class FrequencyEncoder(nn.Module):

@@ -87,33 +87,50 @@ def ring_1024(cap=1 << 17, n_pts=100_000, chunk=4, n_chunks=6):
     ring = test_ring_cameras(dcfg)
     H, W = 1024, 1024
     bg = jnp.ones(3, jnp.float32)
-    cls = classes_for(H, W, cap)
 
-    @jax.jit
-    def render_chunk(params, stats, cams):
-        s = st.replace(params=params, stats=stats)
-        out = render_batch(
-            s, cams, bg, H, W, max_per_tile=512,
-            fast=True, payload_dtype="packed", classes=cls,
-        )
-        # the production loop transfers rgb + alpha to host for png encoding
-        return out["render"], out["alpha"], jnp.sum(out["n_dropped"])
+    def make_fn(cls):
+        @jax.jit
+        def render_chunk(params, stats, cams):
+            s = st.replace(params=params, stats=stats)
+            out = render_batch(
+                s, cams, bg, H, W, max_per_tile=512,
+                fast=True, payload_dtype="packed", classes=cls,
+            )
+            # production render_ring quantizes on device before the host
+            # transfer (systems/gaussiandreamer.render_ring)
+            r8 = jnp.clip(out["render"] * 255.0, 0, 255).astype(jnp.uint8)
+            m8 = ((out["alpha"] >= 0.8) * 255).astype(jnp.uint8)
+            return r8, m8, jnp.sum(out["n_dropped"])
+
+        return render_chunk
 
     def cams_at(start):
         sel = list(range(start, start + chunk))
         return {k: jnp.asarray(v[sel]) for k, v in ring["gs_cameras"].items()}
 
     batches = [cams_at(i * chunk) for i in range(n_chunks)]
-    # warmup/compile
-    r, a, nd = render_chunk(st.params, st.stats, batches[0])
-    _sync(nd)
+    # this synthetic init cloud has a fatter tile-coverage tail than a
+    # trained production cloud; probe upward from the shared sizing rule to
+    # the first zero-drop configuration before timing
+    candidates = [
+        classes_for(H, W, cap),
+        ((16, None), (64, cap // 2), (256, 8192)),
+        ((32, None), (128, cap // 2), (512, 8192)),
+    ]
+    for cls in candidates:
+        fn = make_fn(cls)
+        nd = int(_sync(fn(st.params, st.stats, batches[0])[2]))
+        if nd == 0:
+            break
+        print(json.dumps({"probe": str(cls), "n_dropped": nd}), flush=True)
+
     t0 = time.perf_counter()
     for b in batches:
-        r, a, nd = render_chunk(st.params, st.stats, b)
-        np.asarray(r), np.asarray(a)  # host transfer is part of the export
+        r, m, nd2 = fn(st.params, st.stats, b)
+        np.asarray(r), np.asarray(m)  # host transfer is part of the export
     dt = (time.perf_counter() - t0) / (n_chunks * chunk)
     emit("stage1_ring_ms_per_view_1024", dt * 1e3,
-         extra={"n_dropped": int(_sync(nd))})
+         extra={"n_dropped": nd, "classes": str(cls)})
     emit("stage1_ring_407_views_s", dt * 407, unit="s")
 
 
@@ -130,7 +147,9 @@ def stage2_vitl(B=2):
     params = jax.eval_shape(lambda: init_params(cfg, jax.random.key(0)))
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), params)
     model = NormalEstimator(cfg)
-    fn = jax.jit(lambda p, x: model.apply(p, x)["normal"])
+    # first-iteration normal, as the stage-2 pipeline consumes it
+    # (normal/pipeline.py forward)
+    fn = jax.jit(lambda p, x: model.apply(p, x)["normal_out_list"][0])
     xs = [jax.random.uniform(jax.random.key(i), (B, 616, 1064, 3))
           for i in range(3)]
     _sync(fn(params, xs[0]))
@@ -243,6 +262,15 @@ def _make_vsd_stack():
         k, jnp.zeros((1, 512, 512, 3)), k, method=AutoencoderKL.sample_latents))
     lp = _rand_params(lambda: lora.init(
         k, x0, t0, c0, extra_emb=jnp.zeros((1, 1280))))
+    # share the frozen base buffers with the plain UNet (pipeline/models.py
+    # grafts the same way): halves the ~7 GB of UNet params in HBM
+    import flax.traverse_util as tu
+
+    fl = tu.flatten_dict(lp)
+    fu = tu.flatten_dict(up)
+    fl.update({kk: v for kk, v in fu.items()
+               if kk in fl and fl[kk].shape == v.shape})
+    lp = tu.unflatten_dict(fl)
     cp = _rand_params(lambda: cam.init(k, jnp.zeros((1, 16))))
     vsd = VSDGuidance(
         VSDConfig(latent_size=64, image_size=512, time_embed_dim=1280),

@@ -225,6 +225,41 @@ class TestVSD:
         leaves = jax.tree_util.tree_leaves(gq["camera"])
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
+    def test_train_vsd_updates_only_lora_and_camera(self, tmp_path):
+        """train_vsd trains the LoRA matrices + camera MLP and leaves the
+        base UNet weights inside q_params untouched (reference freezes the
+        base and optimizes AttnProcsLayers + camera_embedding only,
+        netf/trainer.py:108-120)."""
+        import flax.traverse_util as tu
+
+        from garmentdreamer_tpu.core import io as gio
+        from garmentdreamer_tpu.netf.trainer import NeTFConfig, NeTFTrainer
+
+        g, q = self._tiny_guidance()
+        v, f = sphere_mesh(10, 7)
+        mesh_path = tmp_path / "mesh.obj"
+        gio.save_obj(str(mesh_path), gio.ObjMesh(vertices=v, faces=f))
+
+        text = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+        cfg = NeTFConfig(
+            iters=2, fit_tex_iters=0, render_resolution=32,
+            texture_resolution=32, batch_size_train=2,
+            max_per_tile=64, max_tiles_per_tri=16,
+        )
+        tr = NeTFTrainer(cfg, str(mesh_path), str(tmp_path), str(tmp_path / "out"),
+                         guidance=g, text_embeddings=text, q_params=q)
+        before = dict(tu.flatten_dict(jax.tree_util.tree_map(np.asarray, q)))
+        tr.train_vsd()
+        after = tu.flatten_dict(jax.tree_util.tree_map(np.asarray, tr.q_params))
+        changed_base, changed_train = [], []
+        for k, v_after in after.items():
+            is_train = "lora_down" in k or "lora_up" in k or k[0] == "camera"
+            if np.array_equal(before[k], v_after):
+                continue
+            (changed_train if is_train else changed_base).append(k)
+        assert not changed_base, f"frozen base weights moved: {changed_base[:3]}"
+        assert changed_train, "no trainable leaf moved"
+
 
 @pytest.mark.slow
 class TestFitTexture:
