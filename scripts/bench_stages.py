@@ -347,9 +347,40 @@ def stage4_netf(H=1024):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# offline stage: latent diffusion sampling + UDF meshing (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+def stage5_autoencoder():
+    from garmentdreamer_tpu.autoencoder.trainer import (
+        EncDecConfig, EncDecTrainer, LatentDiffusion,
+    )
+    from garmentdreamer_tpu.autoencoder.udf import get_mesh_from_udf
+
+    ld = LatentDiffusion()
+    cond = jnp.zeros((16, 77, 768))
+    _sync(ld.sample(16, cond, jax.random.key(0)))  # compile
+    t0 = time.perf_counter()
+    codes = ld.sample(16, cond, jax.random.key(1))
+    _sync(codes)
+    emit("stage5_ddim100_sample16_s", time.perf_counter() - t0, unit="s")
+
+    tr = EncDecTrainer(EncDecConfig())
+    pcd = jax.random.uniform(jax.random.key(2), (1, 10000, 3), jnp.float32,
+                             -0.5, 0.5)
+    code = tr.encode(pcd)[0]
+    f = tr.udf_fn(code)
+    f(np.zeros((1 << 16, 3), np.float32))  # compile
+    t0 = time.perf_counter()
+    v, fcs = get_mesh_from_udf(f, N=128)
+    emit("stage5_udf_mesh_N128_s", time.perf_counter() - t0, unit="s",
+         extra={"verts": int(v.shape[0]), "faces": int(fcs.shape[0])})
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip", default="", help="comma list: ring,stage2,stage3,stage4")
+    ap.add_argument("--skip", default="",
+                    help="comma list: ring,stage2,stage3,stage4,stage5")
     a = ap.parse_args()
     skip = set(filter(None, a.skip.split(",")))
     if "ring" not in skip:
@@ -360,6 +391,8 @@ def main():
         stage3_deformer()
     if "stage4" not in skip:
         stage4_netf()
+    if "stage5" not in skip:
+        stage5_autoencoder()
     print(json.dumps({"metric": "stage_rates", "extra": SUMMARY}), flush=True)
 
 
