@@ -189,8 +189,9 @@ def render_fit_samples(
 
     rast = rasterize(clip, faces, height, width, max_tiles_per_tri, max_per_tile)
     fid_s = rast.face_id.reshape(-1)[pix_idx]  # (Q,)
-    bary_full = barycentrics(clip, faces, rast.face_id, height, width)
-    bary_s = bary_full.reshape(-1, 3)[pix_idx]
+    px = (pix_idx % width).astype(jnp.float32) + 0.5
+    py = (pix_idx // width).astype(jnp.float32) + 0.5
+    bary_s = barycentrics(clip, faces, fid_s, height, width, pixel_xy=(px, py))
 
     xyz_s = interpolate(verts, faces, fid_s, bary_s)  # (Q,3)
     albedo_s = texture_field.query(tex_params, xyz_s)  # (Q,3)

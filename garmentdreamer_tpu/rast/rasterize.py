@@ -201,21 +201,31 @@ def barycentrics(
     height: int,
     width: int,
     perspective: bool = True,
+    pixel_xy=None,
 ) -> jnp.ndarray:
-    """Perspective-correct barycentrics (H,W,3) for the selected faces,
+    """Perspective-correct barycentrics (..., 3) for the selected faces,
     differentiable w.r.t. ``clip`` (nvdiffrast's interpolate-path gradients).
-    Background pixels get zeros."""
-    H, W = face_id.shape
-    fid = jnp.maximum(face_id, 0)
-    tri = faces[fid]  # (H,W,3)
-    sxy = screen_xy(clip, height, width)
-    a, b, c = sxy[tri[..., 0]], sxy[tri[..., 1]], sxy[tri[..., 2]]  # (H,W,2)
+    Background pixels get zeros.
 
-    py, px = jnp.meshgrid(
-        jnp.arange(H, dtype=jnp.float32) + 0.5,
-        jnp.arange(W, dtype=jnp.float32) + 0.5,
-        indexing="ij",
-    )
+    By default ``face_id`` is the (H, W) image and pixel centers come from
+    the grid; pass ``pixel_xy=(px, py)`` (pixel-center coordinates matching
+    face_id's shape) to evaluate at an arbitrary pixel subset -- the sampled
+    texture-fit path uses this so only its pixel budget pays the per-pixel
+    gathers."""
+    fid = jnp.maximum(face_id, 0)
+    tri = faces[fid]  # (..., 3)
+    sxy = screen_xy(clip, height, width)
+    a, b, c = sxy[tri[..., 0]], sxy[tri[..., 1]], sxy[tri[..., 2]]  # (..., 2)
+
+    if pixel_xy is not None:
+        px, py = pixel_xy
+    else:
+        H, W = face_id.shape
+        py, px = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32) + 0.5,
+            jnp.arange(W, dtype=jnp.float32) + 0.5,
+            indexing="ij",
+        )
     e0 = _edge(b, c, px, py)
     e1 = _edge(c, a, px, py)
     e2 = _edge(a, b, px, py)

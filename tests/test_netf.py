@@ -119,6 +119,43 @@ class TestRenderTextured:
         gt = g["encoder"]["params"]["table"]
         assert float(jnp.abs(gt).max()) > 0
 
+    def test_fit_samples_match_full_render_interior(self):
+        """render_fit_samples agrees with render_textured at every sampled
+        pixel away from silhouette antialiasing: same fid/validity and the
+        same albedo (interior image == albedo since alpha==1 there)."""
+        from garmentdreamer_tpu.netf.renderer import render_fit_samples
+
+        v, f = sphere_mesh()
+        field = TextureField(jax.random.PRNGKey(0))
+        pose = jnp.asarray(orbit_pose(10.0, 30.0, 3.0))
+        proj = jnp.asarray(perspective(49.1))
+        H = W = 64
+        full = render_textured(
+            field.params, jnp.asarray(v), jnp.asarray(f), pose, proj,
+            H, W, field, max_per_tile=128, max_tiles_per_tri=16,
+        )
+        pix = jnp.arange(H * W)  # every pixel
+        sub = render_fit_samples(
+            field.params, jnp.asarray(v), jnp.asarray(f), pose, proj,
+            H, W, field, pix, max_per_tile=128, max_tiles_per_tri=16,
+        )
+        valid = np.asarray(sub["valid"]).reshape(H, W)
+        np.testing.assert_array_equal(valid, np.asarray(full["face_id"]) >= 0)
+        # interior = covered pixels whose 4-neighbourhood is covered too
+        # (antialias only touches silhouette pixels)
+        interior = valid.copy()
+        interior[1:] &= valid[:-1]
+        interior[:-1] &= valid[1:]
+        interior[:, 1:] &= valid[:, :-1]
+        interior[:, :-1] &= valid[:, 1:]
+        alb = np.asarray(sub["albedo"]).reshape(H, W, 3)
+        img = np.asarray(full["image"])
+        np.testing.assert_allclose(alb[interior], img[interior], atol=2e-5)
+        cos_sub = np.asarray(sub["cosinesview"]).reshape(H, W)
+        cos_full = np.asarray(full["cosinesview"])
+        np.testing.assert_allclose(
+            cos_sub[interior], cos_full[interior], atol=5e-3)
+
     def test_clean_mesh_drops_small_components(self):
         v, f = sphere_mesh()
         # add a floating triangle far away
