@@ -265,7 +265,7 @@ def deformation(
         picked_d = jnp.asarray(np.asarray(picked, np.int32))
 
         @jax.jit
-        def step2(offsets, sh_params, sh_opt_state, pi, vis, key, tgt, grf):
+        def step2(offsets, sh_params, sh_opt_state, pi, key, tgt, grf):
             vi = picked_d[pi]
             mvp = mvps_d[vi]
             cam_R = Rs_d[vi]
@@ -274,6 +274,18 @@ def deformation(
             tgt_normal = tgt["normal"][pi]
             tgt_rgb = tgt["rgb"][pi]
             g_rf = jax.tree_util.tree_map(lambda a: a[pi], grf)
+
+            # visibility lives INSIDE the step (one program dispatch per
+            # iteration, not two -- each dispatch is ~5-8 ms via the tunnel)
+            if cfg.optim_only_visible:
+                verts_now = v0 + offsets
+                vis = vertex_visibility(
+                    verts_now, faces, mvp[None], H, W, int(v0.shape[0]),
+                    cfg.visibility_upsample, cfg.max_tiles_per_tri,
+                    cfg.max_per_tile,
+                )
+            else:
+                vis = jnp.ones((v0.shape[0],), bool)
 
             def loss_fn(off, sp):
                 verts = v0 + off
@@ -384,16 +396,9 @@ def deformation(
             step2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
 
         pi = int(rng.choice(len(view_pool2)))
-        vi = view_pool2[pi]
-        verts_now = v0 + offsets
-        vis = vertex_visibility(
-            verts_now, faces, mvps_d[vi][None], H, W, int(verts_now.shape[0]),
-            cfg.visibility_upsample, cfg.max_tiles_per_tri, cfg.max_per_tile,
-        ) if cfg.optim_only_visible else jnp.ones((verts_now.shape[0],), bool)
-
         key, sub = jax.random.split(key)
         offsets, shader_params, shader_opt_state, loss, nd = step2(
-            offsets, shader_params, shader_opt_state, jnp.uint32(pi), vis, sub,
+            offsets, shader_params, shader_opt_state, jnp.uint32(pi), sub,
             targets2_d, grf_stack,
         )
         if not nd_warned and it % 50 == 0 and int(nd) > 0:
