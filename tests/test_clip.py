@@ -64,6 +64,44 @@ def test_clip_parity_vs_transformers(act):
 
 
 @pytest.mark.slow
+def test_clip_parity_vs_transformers_full_sd21_config():
+    """FULL SD-2.1-base text-encoder config (hidden 1024, 23 layers, 16
+    heads, gelu) vs transformers — the converted-weight numerics at the real
+    architecture shapes, not just the tiny topology (VERDICT r3 next-5). The
+    real checkpoint loads through this exact transformers state-dict layout
+    (stable_diffusion_guidance.py:83-99 via StableDiffusionPipeline), so
+    random-init parity here pins the production conversion path."""
+    import torch
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModel as HFModel
+
+    hf_cfg = HFConfig(
+        vocab_size=49408,
+        hidden_size=1024,
+        num_hidden_layers=23,
+        num_attention_heads=16,
+        intermediate_size=4096,
+        max_position_embeddings=77,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    hf = HFModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_clip_text_encoder(sd)
+    model = CLIPTextModel(CLIPTextConfig(vocab_size=49408))
+
+    rs = np.random.RandomState(0)
+    ids = np.concatenate(
+        [np.full((2, 1), 1), rs.randint(2, 49408, (2, 75)), np.full((2, 1), 2)],
+        axis=1,
+    ).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids.astype(np.int64))).last_hidden_state.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_clip_converter_matches_init_tree():
     hf = _torch_tiny()
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}

@@ -240,6 +240,38 @@ class TestFullEval:
         assert os.path.isfile(os.path.join(out, "renders", "00000.png"))
         assert os.path.isfile(os.path.join(out, "gt", "00000.png"))
 
+    def test_oversized_point_cloud_is_subsampled(self, tmp_path, capsys):
+        """Real COLMAP captures can exceed the packed rasterizer's 2^19
+        capacity; full_eval must clamp capacity, subsample the init cloud
+        with a visible warning, and still complete (VERDICT r3 next-8,
+        follows the ADVICE r2 capacity-clamp fix in splat/eval.py)."""
+        from garmentdreamer_tpu.splat.eval import full_eval
+        from garmentdreamer_tpu.splat.photometric import PhotometricConfig
+
+        _make_blender_scene(str(tmp_path), n_train=1, n_test=1, hw=16)
+        sc = load_scene(str(tmp_path), eval=True)
+        rs = np.random.RandomState(0)
+        n_big = (1 << 19) + 50_000
+        sc = type(sc)(
+            train_cameras=sc.train_cameras,
+            test_cameras=sc.test_cameras,
+            points=(rs.rand(n_big, 3).astype(np.float32) * 2 - 1),
+            colors=np.full((n_big, 3), 0.5, np.float32),
+            translate=sc.translate,
+            radius=sc.radius,
+        )
+        out = str(tmp_path / "out_big")
+        m = full_eval(
+            sc, out,
+            fit_cfg=PhotometricConfig(
+                iterations=1, batch_size=1, max_per_tile=64,
+                max_tiles_per_gaussian=4,
+            ),
+        )
+        assert "subsampling" in capsys.readouterr().out
+        assert np.isfinite(m["PSNR"])
+        assert os.path.isfile(os.path.join(out, "results.json"))
+
 
 class TestEvaluate:
     def test_psnr_ssim_lpips_dict(self, tmp_path):
