@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -35,6 +36,81 @@ N_GAUSS = 100_000
 RES = 512
 WARMUP = 3
 ITERS = 40
+
+# -- transient-failure armor (VERDICT r3 missing-1) --------------------------
+# Round 3's verified numbers were erased by ONE axon tunnel hiccup at the
+# first device op ("Unable to initialize backend 'axon': UNAVAILABLE").
+# The scoreboard must not be losable to a transient: backend acquisition is
+# retried in-process with backoff, and if the process is wedged (the axon
+# plugin caches a failed backend), the whole script re-execs itself for a
+# fully fresh interpreter, up to BENCH_MAX_REEXECS times.
+BACKEND_ATTEMPTS = 6
+MAX_REEXECS = int(os.environ.get("BENCH_MAX_REEXECS", "3"))
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "Socket closed",
+    "Connection reset",
+    "failed to connect",
+    "RESOURCE_EXHAUSTED: Attempting to reserve",
+)
+
+
+def _is_transient(e: BaseException) -> bool:
+    msg = f"{type(e).__name__}: {e}"
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _reexec(reason: str):
+    """Restart this script in a fresh interpreter (resets all JAX/plugin state)."""
+    n = int(os.environ.get("BENCH_REEXEC_COUNT", "0"))
+    if n >= MAX_REEXECS:
+        return False
+    os.environ["BENCH_REEXEC_COUNT"] = str(n + 1)
+    print(
+        f"[bench] re-exec {n + 1}/{MAX_REEXECS} after transient failure: "
+        f"{reason[:200]}",
+        flush=True,
+    )
+    time.sleep(10.0 * (n + 1))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+    return True  # unreachable
+
+
+def _acquire_backend():
+    """Bounded retry around backend init + the first device op."""
+    import jax
+
+    last: BaseException | None = None
+    for attempt in range(BACKEND_ATTEMPTS):
+        try:
+            import jax.numpy as jnp
+
+            np.asarray(jnp.arange(8) + 1)
+            plat = jax.devices()[0].platform
+            print(f"[bench] backend up: {plat} (attempt {attempt + 1})", flush=True)
+            return
+        except Exception as e:  # noqa: BLE001 - classified below
+            last = e
+            if not _is_transient(e):
+                raise
+            print(
+                f"[bench] backend attempt {attempt + 1}/{BACKEND_ATTEMPTS} "
+                f"failed: {type(e).__name__}: {e}"[:300],
+                flush=True,
+            )
+            time.sleep(min(60.0, 5.0 * 2**attempt))
+            try:  # drop any cached dead backend before retrying
+                jax.clear_caches()
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+    assert last is not None
+    if not _reexec(str(last)):
+        raise last
 
 
 def _sync(x):
@@ -260,6 +336,7 @@ def main():
     from garmentdreamer_tpu.core.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _acquire_backend()
 
     import jax
     import jax.numpy as jnp
@@ -281,6 +358,8 @@ def main():
         try:
             extra["sds_iters_per_sec_sd21_512"] = round(bench_sds_step(), 3)
         except Exception as e:  # pragma: no cover - report, don't kill headline
+            if _is_transient(e):
+                raise  # escalate: top-level handler re-execs the whole run
             extra["sds_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(
@@ -297,4 +376,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - transient tunnel failures re-exec
+        if _is_transient(e) and _reexec(f"{type(e).__name__}: {e}"):
+            pass  # unreachable (execv)
+        else:
+            raise
