@@ -107,6 +107,11 @@ class DeformerConfig:
     save_frequency: int = 500
     seed: int = 12
     decimate_target: int = 40000
+    # iterations fused into ONE on-device lax.scan dispatch: the view pick
+    # and rng are pure functions of the step index, so the host only slices
+    # precomputed sequences between checkpoint/remesh boundaries instead of
+    # paying per-iteration dispatch through the axon tunnel
+    scan_chunk: int = 250
 
 
 def _adjust_and_scale(verts: np.ndarray, bound: float) -> np.ndarray:
@@ -206,30 +211,37 @@ def deformation(
     # compile service rejects multi-GB programs
     masks_d = jnp.asarray(targets["mask"])  # (V_views, H, W, 1)
 
-    # ---- stage-1 jitted step ----
+    # ---- stage-1 jitted scan (one dispatch per chunk of iterations) ----
     @jax.jit
-    def step1(offsets, opt_state, vi, masks):
-        mvp = mvps_d[vi]
-        tgt_mask = masks[vi]
+    def run1(offsets, opt_state, vis, masks):
+        def body(carry, vi):
+            off, ostate = carry
+            mvp = mvps_d[vi]
+            tgt_mask = masks[vi]
 
-        def loss_fn(off):
-            verts = v0 + off
-            vn = vertex_normals(verts, faces, V)
-            g = render_gbuffer(
-                verts, faces, vn, mvp, H, W,
-                cfg.max_tiles_per_tri, cfg.max_per_tile,
-            )
-            l_mask = mask_loss(tgt_mask, g["mask"])
-            l_nc = normal_consistency_loss(verts, faces, connected)
-            l_lap = laplacian_loss(verts, edges, degree)
-            return (
-                w_mask1 * l_mask + w_nc1 * l_nc + w_lap1 * l_lap,
-                (l_mask, l_nc, l_lap, g["n_dropped"]),
-            )
+            def loss_fn(off_):
+                verts = v0 + off_
+                vn = vertex_normals(verts, faces, V)
+                g = render_gbuffer(
+                    verts, faces, vn, mvp, H, W,
+                    cfg.max_tiles_per_tri, cfg.max_per_tile,
+                )
+                l_mask = mask_loss(tgt_mask, g["mask"])
+                l_nc = normal_consistency_loss(verts, faces, connected)
+                l_lap = laplacian_loss(verts, edges, degree)
+                return (
+                    w_mask1 * l_mask + w_nc1 * l_nc + w_lap1 * l_lap,
+                    g["n_dropped"],
+                )
 
-        (loss, aux), grad = jax.value_and_grad(loss_fn, has_aux=True)(offsets)
-        updates, opt_state = vertex_opt.update(grad, opt_state)
-        return optax.apply_updates(offsets, updates), opt_state, loss, aux[3]
+            (loss, nd), grad = jax.value_and_grad(loss_fn, has_aux=True)(off)
+            updates, ostate = vertex_opt.update(grad, ostate)
+            return (optax.apply_updates(off, updates), ostate), (loss, nd)
+
+        (offsets, opt_state), (losses, nds) = jax.lax.scan(
+            body, (offsets, opt_state), vis
+        )
+        return offsets, opt_state, losses[-1], nds.max()
 
     # ---- stage-2 jitted step ----
     stage2_weights = {
@@ -264,7 +276,6 @@ def deformation(
     def make_step2(lr_vertices: float, w_lap: float, w_nc: float, picked):
         picked_d = jnp.asarray(np.asarray(picked, np.int32))
 
-        @jax.jit
         def step2(offsets, sh_params, sh_opt_state, pi, key, tgt, grf):
             vi = picked_d[pi]
             mvp = mvps_d[vi]
@@ -334,29 +345,64 @@ def deformation(
             sh_params = optax.apply_updates(sh_params, sh_updates)
             return offsets, sh_params, sh_opt_state, loss, aux["n_dropped"]
 
-        return step2
+        @jax.jit
+        def run2(offsets, sh_params, sh_opt_state, pis, keys, tgt, grf):
+            def body(carry, xs):
+                off, sp, so = carry
+                pi, key = xs
+                off, sp, so, loss, nd = step2(off, sp, so, pi, key, tgt, grf)
+                return (off, sp, so), (loss, nd)
+
+            (offsets, sh_params, sh_opt_state), (losses, nds) = jax.lax.scan(
+                body, (offsets, sh_params, sh_opt_state), (pis, keys)
+            )
+            return offsets, sh_params, sh_opt_state, losses[-1], nds.max()
+
+        return run2
 
     # =========================== stage 1 ===========================
+    # the whole view-pick sequence is a pure function of the host seed:
+    # precompute it and run the loop as chunked on-device lax.scan programs,
+    # breaking only at checkpoint boundaries (same picks and same updates as
+    # the per-iteration loop; the drop canary is now the max over each chunk,
+    # checked with ONE device sync per chunk instead of one per 50 iters)
     offsets = jnp.zeros_like(v0)
     lo, hi = cfg.picked_views_first
     view_pool1 = [i for i in range(lo, min(hi, len(views)))] or list(range(len(views)))
+    vi_seq1 = np.array(
+        [rng.choice(view_pool1) for _ in range(cfg.iterations_first)], np.uint32
+    )
     nd_warned = False
-    for it in range(1, cfg.iterations_first + 1):
-        vi = int(rng.choice(view_pool1))
-        offsets, vertex_opt_state, loss, nd = step1(
-            offsets, vertex_opt_state, jnp.uint32(vi), masks_d
+
+    def _chunk_bounds(start_it, end_it, events):
+        """Yield (lo, hi] sub-ranges of (start_it, end_it] that break at
+        ``events`` (checkpoint/remesh iterations) and at cfg.scan_chunk."""
+        bounds = sorted({e for e in events if start_it < e <= end_it} | {end_it})
+        lo_ = start_it
+        for b in bounds:
+            while lo_ < b:
+                hi_ = min(lo_ + max(1, cfg.scan_chunk), b)
+                yield lo_, hi_
+                lo_ = hi_
+
+    save_pts1 = (
+        {1} | set(range(cfg.save_frequency, cfg.iterations_first + 1, cfg.save_frequency))
+        if cfg.save_frequency > 0
+        else set()
+    )
+    for lo_it, hi_it in _chunk_bounds(0, cfg.iterations_first, save_pts1):
+        offsets, vertex_opt_state, loss, nd = run1(
+            offsets, vertex_opt_state, jnp.asarray(vi_seq1[lo_it:hi_it]), masks_d
         )
-        # sample the drop canary every 50 iters: int(nd) is a device sync,
-        # and one per iteration stalls the async dispatch queue
-        if not nd_warned and (it == 1 or it % 50 == 0) and int(nd) > 0:
+        if not nd_warned and int(nd) > 0:
             print(
-                f"[deformer] stage-1 it {it}: {int(nd)} triangle instances "
-                "dropped by rasterizer caps -- raise max_tiles_per_tri/"
-                "max_per_tile", flush=True,
+                f"[deformer] stage-1 it {hi_it}: up to {int(nd)} triangle "
+                "instances dropped by rasterizer caps -- raise "
+                "max_tiles_per_tri/max_per_tile", flush=True,
             )
             nd_warned = True
-        if cfg.save_frequency > 0 and (it == 1 or it % cfg.save_frequency == 0):
-            _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv)
+        if hi_it in save_pts1:
+            _save_mesh_checkpoint(meshes_dir, hi_it, v0, offsets, topo, A_inv)
 
     # =========================== stage 2 ===========================
     rf_verts = v0 + jax.lax.stop_gradient(offsets)
@@ -369,12 +415,27 @@ def deformation(
         "normal": jnp.asarray(targets["normal"][list(view_pool2)]),
         "rgb": jnp.asarray(targets["rgb"][list(view_pool2)]),
     }
-    step2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
+    run2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
     key = jax.random.PRNGKey(cfg.seed)
 
     total_second = cfg.iterations_first + cfg.iterations_second
-    for it in range(cfg.iterations_first + 1, total_second + 1):
-        if it in cfg.upsample_iterations:
+    n2 = cfg.iterations_second
+    # precompute the whole stage-2 pick sequence (same host-rng call order as
+    # the per-iteration loop) and per-iteration rng keys; remesh events do not
+    # consume host randomness so the sequence is unaffected by them
+    pi_seq = np.array([rng.choice(len(view_pool2)) for _ in range(n2)], np.uint32)
+    key_seq = jax.random.split(key, max(n2, 1))
+    save_pts2 = (
+        set(range(cfg.save_frequency, total_second + 1, cfg.save_frequency))
+        if cfg.save_frequency > 0
+        else set()
+    )
+    # upsample happens BEFORE running its iteration: break the chunking so a
+    # boundary lands at (upsample_it - 1)
+    events2 = save_pts2 | {u - 1 for u in cfg.upsample_iterations}
+
+    for lo_it, hi_it in _chunk_bounds(cfg.iterations_first, total_second, events2):
+        if lo_it + 1 in cfg.upsample_iterations:
             new = _try_remesh(v0 + offsets, topo)
             if new is not None:
                 verts_new, topo = new
@@ -393,23 +454,23 @@ def deformation(
             w_nc *= 4
             lr_v *= 0.25
             grf_stack = compute_rf_stack(rf_verts, view_pool2)
-            step2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
+            run2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
 
-        pi = int(rng.choice(len(view_pool2)))
-        key, sub = jax.random.split(key)
-        offsets, shader_params, shader_opt_state, loss, nd = step2(
-            offsets, shader_params, shader_opt_state, jnp.uint32(pi), sub,
+        s0, s1 = lo_it - cfg.iterations_first, hi_it - cfg.iterations_first
+        offsets, shader_params, shader_opt_state, loss, nd = run2(
+            offsets, shader_params, shader_opt_state,
+            jnp.asarray(pi_seq[s0:s1]), key_seq[s0:s1],
             targets2_d, grf_stack,
         )
-        if not nd_warned and it % 50 == 0 and int(nd) > 0:
+        if not nd_warned and int(nd) > 0:
             print(
-                f"[deformer] stage-2 it {it}: {int(nd)} triangle instances "
-                "dropped by rasterizer caps -- raise max_tiles_per_tri/"
-                "max_per_tile", flush=True,
+                f"[deformer] stage-2 it {hi_it}: up to {int(nd)} triangle "
+                "instances dropped by rasterizer caps -- raise "
+                "max_tiles_per_tri/max_per_tile", flush=True,
             )
             nd_warned = True
-        if cfg.save_frequency > 0 and it % cfg.save_frequency == 0:
-            _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv)
+        if hi_it in save_pts2:
+            _save_mesh_checkpoint(meshes_dir, hi_it, v0, offsets, topo, A_inv)
 
     # =========================== export ===========================
     final_local = np.asarray(v0 + offsets)
