@@ -33,7 +33,10 @@ from garmentdreamer_tpu.meshops.mesh import vertex_normals
 from garmentdreamer_tpu.rast import antialias, barycentrics, interpolate, rasterize
 from garmentdreamer_tpu.texture.encoders import HashGridConfig, HashGridEncoder, MLP
 
-__all__ = ["TextureField", "render_textured", "render_fit_samples", "clean_mesh"]
+__all__ = [
+    "TextureField", "render_textured", "render_fit_samples", "fit_gbuffer",
+    "clean_mesh",
+]
 
 
 class TextureField:
@@ -183,6 +186,40 @@ def render_fit_samples(
     only the field query and the loss are sampled. Deviation: sampled pixels
     use hard coverage instead of antialiased edges (~0.3% of pixels).
     """
+    g = fit_gbuffer(
+        verts, faces, pose, proj, height, width, pix_idx,
+        max_tiles_per_tri=max_tiles_per_tri, max_per_tile=max_per_tile,
+    )
+    albedo_s = texture_field.query(tex_params, g["xyz"])  # (Q,3)
+    return {
+        "albedo": albedo_s,
+        "valid": g["valid"],
+        "cosinesview": g["cosinesview"],
+    }
+
+
+def fit_gbuffer(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    pose: jnp.ndarray,  # (4,4) OpenGL c2w
+    proj: jnp.ndarray,  # (4,4)
+    height: int,
+    width: int,
+    pix_idx: jnp.ndarray,  # (Q,) flat pixel indices into the H*W image
+    max_tiles_per_tri: int = 32,
+    max_per_tile: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """Texture-independent fit geometry at ``pix_idx``: surface position,
+    coverage, and view cosine.
+
+    During texture fitting the mesh is FROZEN (only field params train), so
+    everything this returns is constant per view across all 600 fit
+    iterations. The trainer precomputes it once per view at full resolution
+    (pix_idx = arange(H*W)) and the fit step collapses to
+    gather -> hash-grid query -> masked MSE -> Adam -- no rasterizer in the
+    hot loop (reference re-renders each step, mesh_renderer.py:158-240; the
+    round-3 TPU port did too, which is where most of its 2.2 s/it went).
+    """
     vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=1)
     v_cam = vh @ jnp.linalg.inv(pose).T
     clip = v_cam @ proj.T
@@ -194,7 +231,6 @@ def render_fit_samples(
     bary_s = barycentrics(clip, faces, fid_s, height, width, pixel_xy=(px, py))
 
     xyz_s = interpolate(verts, faces, fid_s, bary_s)  # (Q,3)
-    albedo_s = texture_field.query(tex_params, xyz_s)  # (Q,3)
 
     vn = vertex_normals(verts, faces)
     nrm_s = interpolate(vn, faces, fid_s, bary_s)
@@ -205,7 +241,7 @@ def render_fit_samples(
     )
 
     return {
-        "albedo": albedo_s,
+        "xyz": xyz_s,
         "valid": fid_s >= 0,
         "cosinesview": jax.lax.stop_gradient(cos_s),
     }

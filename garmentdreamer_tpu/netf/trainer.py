@@ -44,7 +44,7 @@ from garmentdreamer_tpu.netf.cameras import (
 )
 from garmentdreamer_tpu.netf.export import export_textured_mesh
 from garmentdreamer_tpu.netf.renderer import (
-    TextureField, clean_mesh, render_fit_samples, render_textured,
+    TextureField, clean_mesh, fit_gbuffer, render_textured,
 )
 
 from garmentdreamer_tpu.core.xla_opts import conv_jit
@@ -69,8 +69,15 @@ class NeTFConfig:
     batch_size_train: int = 4  # grad accumulation period
     # texture-fit pixel sample budget per step (0 = full image). Sampling is
     # the TPU answer to the hash-grid row costs (renderer.render_fit_samples
-    # docstring); 2^18 = a quarter of the 1024^2 fit render.
-    fit_pixel_budget: int = 1 << 18
+    # docstring); 2^17 = an eighth of the 1024^2 fit render (see the
+    # budget-vs-PSNR table in BENCH_E2E.md for the quality curve behind the
+    # default).
+    fit_pixel_budget: int = 1 << 17
+    # fit iterations fused into ONE on-device lax.scan dispatch: view index
+    # and rng are pure functions of the step, so chunks of the loop run
+    # without per-iteration host dispatch (the axon tunnel costs ms per
+    # dispatch on a 1-vCPU host). One chunk boundary per progress report.
+    fit_scan_chunk: int = 100
     K: int = 1
     K2: int = 1
     uncond_p: float = 0.1
@@ -166,85 +173,118 @@ class NeTFTrainer:
             raise ValueError("no reconstruction views found")
         return views
 
-    def fit_texture(self, sample_dir: str, save: bool = True) -> float:
-        cfg = self.cfg
-        views = self.load_views(sample_dir)
-        H = views[0]["rgb"].shape[0]
-        res = min(cfg.fit_resolution, H)
-        field = self.field
-        verts, faces = self.verts, self.faces
-        opt = self.tex_opt
+    def precompute_fit_gbuffers(self, views, res: int):
+        """Per-view fit geometry + targets, computed ONCE and kept on device.
 
-        # Upload all view targets ONCE (pre-flipped, flattened): per-iter
-        # jnp.asarray of a 1024^2 target is a ~16 MB host->device copy that
-        # stalls the dispatch queue every step. Targets are indexed on device
-        # by view id instead.
+        The mesh is frozen during texture fitting, so the surface position,
+        coverage, view cosine, AND the target-side validity of every pixel
+        are constants per view. The reference pays a full nvdiffrast pass
+        per iteration (mesh_renderer.py:158-240); here 600 iterations share
+        ~40 one-time geometry passes and the per-step validity test
+        collapses to one precomputed bool per pixel.
+
+        Returns (xyz_stack (V,HW,3) f32, ok_stack (V,HW) bool,
+        rgb_stack (V,HW,3) f32).
+        """
+        cfg = self.cfg
+        verts, faces = self.verts, self.faces
+        n_pix = res * res
+        all_pix = jnp.arange(n_pix, dtype=jnp.int32)
+
         def _down(img):
             if img.shape[0] != res:
                 idx = (np.arange(res) / (res / img.shape[0])).astype(int)
                 img = img[idx][:, idx]
             return np.flipud(img)
 
-        rgb_stack = jnp.asarray(
-            np.stack([_down(v["rgb"]).reshape(res * res, 3) for v in views])
-        )
-        mask_stack = jnp.asarray(
-            np.stack([_down(v["mask"]).reshape(res * res) for v in views])
-        )
-        poses = jnp.asarray(np.stack([v["pose"] for v in views]))
-        projs = jnp.asarray(np.stack([v["proj"] for v in views]))
+        @jax.jit
+        def gbuf(pose, proj, tgt_mask):
+            g = fit_gbuffer(
+                verts, faces, pose, proj, res, res, all_pix,
+                max_tiles_per_tri=cfg.max_tiles_per_tri,
+                max_per_tile=cfg.max_per_tile,
+            )
+            # static per-pixel validity: coverage & flipud(view mask) &
+            # back-facing view cosine (mesh_renderer.py:228-230)
+            ok = g["valid"] & (tgt_mask > 0) & (g["cosinesview"] <= 0)
+            return g["xyz"], ok
+
+        xyzs, oks, rgbs = [], [], []
+        for v in views:
+            mask_f = jnp.asarray(_down(v["mask"]).reshape(n_pix))
+            xyz, ok = gbuf(jnp.asarray(v["pose"]), jnp.asarray(v["proj"]), mask_f)
+            xyzs.append(xyz)
+            oks.append(ok)
+            rgbs.append(_down(v["rgb"]).reshape(n_pix, 3))
+        return jnp.stack(xyzs), jnp.stack(oks), jnp.asarray(np.stack(rgbs))
+
+    def fit_texture(self, sample_dir: str, save: bool = True) -> float:
+        cfg = self.cfg
+        views = self.load_views(sample_dir)
+        H = views[0]["rgb"].shape[0]
+        res = min(cfg.fit_resolution, H)
+        field = self.field
+        opt = self.tex_opt
+
+        xyz_stack, ok_stack, rgb_stack = self.precompute_fit_gbuffers(views, res)
 
         n_pix = res * res
-        Q = cfg.fit_pixel_budget or n_pix
+        Q = min(cfg.fit_pixel_budget or n_pix, n_pix)
         sampled = Q < n_pix
 
+        # the view stacks enter the jitted program as ARGUMENTS -- closed-over
+        # device arrays of this size (~1 GB at 40 views @1024^2) are baked
+        # into the HLO as constants and rejected by the remote compile service
         @jax.jit
-        def step(params, opt_state, vi, key):
-            pose, proj = poses[vi], projs[vi]
-            tgt_rgb_f, tgt_mask_f = rgb_stack[vi], mask_stack[vi]
-
-            def loss_fn(p):
+        def run_chunk(params, opt_state, vis, keys, xyzs, oks, rgbs):
+            def body(carry, xs):
+                p, o = carry
+                vi, key = xs
                 if sampled:
                     pix = jax.random.randint(key, (Q,), 0, n_pix)
-                    out = render_fit_samples(
-                        p, verts, faces, pose, proj, res, res, field, pix,
-                        max_tiles_per_tri=cfg.max_tiles_per_tri,
-                        max_per_tile=cfg.max_per_tile,
-                    )
-                    m = (out["valid"] & (tgt_mask_f[pix] > 0)
-                         & (out["cosinesview"] <= 0))
-                    diff = (out["albedo"] - tgt_rgb_f[pix]) ** 2
                 else:
-                    out = render_textured(
-                        p, verts, faces, pose, proj, res, res, field,
-                        max_tiles_per_tri=cfg.max_tiles_per_tri,
-                        max_per_tile=cfg.max_per_tile,
-                    )
-                    # valid: alpha>0 & flipud(view mask)>0 & cos<=0
-                    # (mesh_renderer.py:228-230)
-                    m = (
-                        (out["alpha"].reshape(-1) > 0)
-                        & (tgt_mask_f > 0)
-                        & (out["cosinesview"].reshape(-1) <= 0)
-                    )
-                    diff = (out["image"].reshape(-1, 3) - tgt_rgb_f.reshape(-1, 3)) ** 2
-                denom = jnp.maximum(jnp.sum(m), 1) * 3
-                return jnp.sum(jnp.where(m[..., None], diff, 0.0)) / denom
+                    pix = jnp.arange(n_pix, dtype=jnp.int32)
+                xyz_s = xyzs[vi, pix]  # (Q,3)
+                m = oks[vi, pix]  # (Q,)
+                tgt = rgbs[vi, pix]  # (Q,3)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+                def loss_fn(tp):
+                    albedo = field.query(tp, xyz_s)
+                    diff = (albedo - tgt) ** 2
+                    denom = jnp.maximum(jnp.sum(m), 1) * 3
+                    return jnp.sum(jnp.where(m[:, None], diff, 0.0)) / denom
 
-        loss = 0.0
-        for it in range(cfg.fit_tex_iters):
-            self.rng, sub = jax.random.split(self.rng)
-            vi = jnp.uint32(self.np_rng.randint(len(views)))
-            self.tex_params, self.tex_opt_state, l = step(
-                self.tex_params, self.tex_opt_state, vi, sub
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, o = opt.update(grads, o)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (vis, keys)
             )
-            # sync only on the last step: a float() per iteration would stall
-            # the async dispatch queue (one host round-trip per iter)
-            if it == cfg.fit_tex_iters - 1:
+            return params, opt_state, losses[-1]
+
+        # the whole fit runs as fit_tex_iters/chunk on-device scan programs:
+        # view ids and rng keys are pure functions of the step index, so the
+        # host loop only slices precomputed sequences (no per-iter dispatch)
+        n_iters = cfg.fit_tex_iters
+        vi_seq = np.array(
+            [self.np_rng.randint(len(views)) for _ in range(n_iters)], np.uint32
+        )
+        self.rng, sub = jax.random.split(self.rng)
+        key_seq = jax.random.split(sub, max(n_iters, 1))
+
+        chunk = max(1, min(cfg.fit_scan_chunk, n_iters)) if n_iters else 1
+        loss = 0.0
+        for start in range(0, n_iters, chunk):
+            # a ragged tail compiles a second (shorter-scan) program once;
+            # padding it instead would apply extra optimizer updates
+            end = min(start + chunk, n_iters)
+            self.tex_params, self.tex_opt_state, l = run_chunk(
+                self.tex_params, self.tex_opt_state,
+                jnp.asarray(vi_seq[start:end]), key_seq[start:end],
+                xyz_stack, ok_stack, rgb_stack,
+            )
+            if end == n_iters:
                 loss = float(l)
         if save:
             self.export(os.path.join(self.outdir, "final_mesh_fitted_texture.obj"))

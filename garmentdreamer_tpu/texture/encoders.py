@@ -123,11 +123,18 @@ class HashGridEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, bound: float = 1.0) -> jnp.ndarray:
         c = self.cfg
         T = 1 << c.log2_hashmap_size
+        # STORED as (L, T*C), reshaped to (L, T, C) inside the program: a
+        # stored trailing dim of C=2 pads 64x under the TPU's (8,128) tile
+        # whenever a boundary copy pins the default layout -- inside a
+        # lax.scan carry that turned each Adam moment into a 4 GB buffer
+        # (fit chunk program OOM, round 4). With the big axis minor the
+        # param/optimizer buffers tile cleanly; the gather operand below is
+        # program-internal and keeps whatever layout the gather wants.
         table = self.param(
             "table",
             nn.initializers.uniform(scale=2e-4),  # tcnn init: U(-1e-4, 1e-4) shifted
-            (c.num_levels, T, c.level_dim),
-        )
+            (c.num_levels, T * c.level_dim),
+        ).reshape(c.num_levels, T, c.level_dim)
         table = table - 1e-4  # center the uniform init at 0
 
         u = (x + bound) / (2.0 * bound)  # [0, 1]

@@ -200,10 +200,16 @@ def stage3_deformer(H=1024, W=1024):
     nv, nf = _sphere_obj(tpl, 120, 84)
     views = _synth_views(H, W, 8)
 
+    # the loops run as lax.scan chunks and the scan LENGTH is static, so all
+    # runs use iteration counts that are exact multiples of one chunk size:
+    # every run then reuses the same compiled chunk program and the delta
+    # isolates steady-state iteration cost (incl. the amortized dispatch)
+    CH = 10
+
     def run(it1, it2):
         cfg = DeformerConfig(
             iterations_first=it1, iterations_second=it2,
-            upsample_iterations=(), save_frequency=0,
+            upsample_iterations=(), save_frequency=0, scan_chunk=CH,
             picked_views_first=(0, len(views)),
             picked_views_second=tuple(range(len(views))),
         )
@@ -212,12 +218,12 @@ def stage3_deformer(H=1024, W=1024):
                     output_dir=os.path.join(tmp, "out"), views=views)
         return time.perf_counter() - t0
 
-    run(3, 2)  # compile/populate cache; not timed
-    t_a = run(3, 2)
-    t_b = run(43, 2)
-    t_c = run(3, 32)
-    ms1 = (t_b - t_a) / 40 * 1e3
-    ms2 = (t_c - t_a) / 30 * 1e3
+    run(CH, CH)  # compile/populate cache; not timed
+    t_a = run(CH, CH)
+    t_b = run(21 * CH, CH)
+    t_c = run(CH, 16 * CH)
+    ms1 = (t_b - t_a) / (20 * CH) * 1e3
+    ms2 = (t_c - t_a) / (15 * CH) * 1e3
     emit("stage3_stage1_ms_per_iter_1024", ms1,
          extra={"verts": nv, "faces": nf})
     emit("stage3_stage2_ms_per_iter_1024", ms2)
@@ -318,18 +324,23 @@ def stage4_netf(H=1024):
     vsd, text, q_params = _make_vsd_stack()
     picked = tuple(range(n_views))
 
+    # fit iterations run as fixed-length lax.scan chunks (static scan
+    # length): keep all runs at exact multiples of one chunk size so the
+    # delta only ever replays the same compiled program
+    FCH = 10
+
     def run_fit(iters):
-        cfg = NeTFConfig(fit_tex_iters=iters, iters=0,
+        cfg = NeTFConfig(fit_tex_iters=iters, iters=0, fit_scan_chunk=FCH,
                          reconstruction_picked_views=picked)
         tr = NeTFTrainer(cfg, mesh_path, tmp, os.path.join(tmp, "out"))
         t0 = time.perf_counter()
         tr.fit_texture(tmp, save=False)
         return time.perf_counter() - t0
 
-    run_fit(2)
-    t_a, t_b = run_fit(2), run_fit(22)
-    emit("stage4_fit_ms_per_iter_1024", (t_b - t_a) / 20 * 1e3)
-    emit("stage4_600_fit_iters_s", (t_b - t_a) / 20 * 600, unit="s")
+    run_fit(FCH)
+    t_a, t_b = run_fit(FCH), run_fit(21 * FCH)
+    emit("stage4_fit_ms_per_iter_1024", (t_b - t_a) / (20 * FCH) * 1e3)
+    emit("stage4_600_fit_iters_s", (t_b - t_a) / (20 * FCH) * 600, unit="s")
 
     def run_vsd(iters):
         cfg = NeTFConfig(fit_tex_iters=0, iters=iters,
