@@ -6,11 +6,12 @@ Reference flow (netf/render/mesh_renderer.py:260-313): xatlas UV unwrap
 at interpolated surface xyz in 640k batches, uv-pad, optional final x-flip
 (reverse=True), write obj.
 
-xatlas is not vendored in this image, so the unwrap here packs face PAIRS
-sharing their longest edge into texture-space right-triangle cells (a classic
-per-chart-free atlas): every face gets its own texels, bakes are exact at the
-texel centers, and seams are handled by dilation padding. Texel utilization
-is lower than xatlas (~50%) -- raise texture_resolution to compensate.
+xatlas is not vendored in this image; the unwrap is the chart-based packer in
+``netf/unwrap.py`` (normal-cone flood-fill charts, fold-checked planar
+flattening, shelf packing) -- contiguous texel regions per chart, seams only
+at chart boundaries, utilization comparable to xatlas. ``pack_uv_atlas``
+(face-pair cells, ~50% utilization but unconditionally injective) remains as
+the fallback for degenerate inputs.
 """
 
 from __future__ import annotations
@@ -173,7 +174,19 @@ def export_textured_mesh(
 ) -> str:
     """Full export (mesh_renderer.py:260-313): unwrap, bake, optional x-flip
     (reverse=True for the final output orientation), write."""
-    vt, ft = pack_uv_atlas(verts, faces)
+    try:
+        from garmentdreamer_tpu.netf.unwrap import unwrap_uv
+
+        vt, ft, stats = unwrap_uv(verts, faces, resolution=texture_resolution)
+        print(
+            f"[export] chart unwrap: {int(stats['n_charts'])} charts, "
+            f"{stats['utilization'] * 100:.1f}% texel utilization", flush=True,
+        )
+    except Exception as e:  # pragma: no cover - degenerate-input fallback
+        import warnings
+
+        warnings.warn(f"chart unwrap failed ({e}); using face-pair atlas")
+        vt, ft = pack_uv_atlas(verts, faces)
     albedo = bake_albedo(query_fn, verts, faces, vt, ft, texture_resolution)
     v_out = verts.copy()
     f_out = faces.copy()
