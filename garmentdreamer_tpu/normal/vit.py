@@ -35,6 +35,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["ViTConfig", "DinoViT"]
 
@@ -60,6 +61,35 @@ class ViTConfig:
     def tiny() -> "ViTConfig":
         """Small config for tests: same topology, ~1000x fewer params."""
         return ViTConfig(patch_size=14, embed_dim=64, depth=2, num_heads=4, pos_grid=4)
+
+
+def _torch_bicubic_matrix(
+    g_in: int, g_out: int, offset: float = 0.1, a: float = -0.75
+) -> np.ndarray:
+    """(g_out, g_in) weight matrix reproducing torch
+    ``F.interpolate(mode="bicubic", align_corners=False, antialias=False)``
+    called with DINOv2's ``scale_factor=(g_out + offset)/g_in`` workaround
+    (reference ViT_DINO_reg.py:918-928, interpolate_offset=0.1). Border taps
+    are index-clamped, like torch's bounded access."""
+
+    def W(x: float) -> float:
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2) * x**3 - (a + 3) * x**2 + 1.0
+        if x < 2.0:
+            return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+        return 0.0
+
+    s = (g_out + offset) / g_in
+    M = np.zeros((g_out, g_in), np.float64)
+    for i in range(g_out):
+        src = (i + 0.5) / s - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        for k in range(-1, 3):
+            j = min(max(i0 + k, 0), g_in - 1)
+            M[i, j] += W(k - t)
+    return M.astype(np.float32)
 
 
 class Mlp(nn.Module):
@@ -171,14 +201,19 @@ class DinoViT(nn.Module):
         return x, (gh, gw)
 
     def _interp_pos(self, pos: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
-        """Bicubic resize of the 37x37 patch position table to (gh, gw)
-        (ViT_DINO_reg.py:906-934)."""
+        """Bicubic resize of the 37x37 patch position table to (gh, gw),
+        exactly matching the reference (ViT_DINO_reg.py:906-934): torch
+        bicubic (a=-0.75, align_corners=False, antialias=False) with the
+        DINOv2 scale_factor +0.1 offset workaround. Expressed as two small
+        matmuls (host-built weight matrices), which is both MXU-friendly and
+        kernel-exact -- jax.image.resize's bicubic uses the Keys a=-0.5
+        kernel, a real numeric divergence vs the checkpoint's pretraining."""
         g = self.cfg.pos_grid
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         if (gh, gw) != (g, g):
-            grid = patch_pos.reshape(1, g, g, self.cfg.embed_dim).astype(jnp.float32)
-            grid = jax.image.resize(
-                grid, (1, gh, gw, self.cfg.embed_dim), method="bicubic"
-            ).astype(pos.dtype)
-            patch_pos = grid.reshape(1, gh * gw, self.cfg.embed_dim)
+            grid = patch_pos.reshape(g, g, self.cfg.embed_dim).astype(jnp.float32)
+            Mh = jnp.asarray(_torch_bicubic_matrix(g, gh))
+            Mw = jnp.asarray(_torch_bicubic_matrix(g, gw))
+            out = jnp.einsum("ai,ijd,bj->abd", Mh, grid, Mw)
+            patch_pos = out.reshape(1, gh * gw, self.cfg.embed_dim).astype(pos.dtype)
         return jnp.concatenate([cls_pos, patch_pos], axis=1)
