@@ -231,12 +231,21 @@ def deformer_grid(H=1024, schedules=((1500, 500), (3000, 1000))):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="", help="comma list: fit,deformer")
+    ap.add_argument("--budgets", default="16,17,18",
+                    help="fit pixel budgets (log2), comma list")
+    ap.add_argument("--fit-iters", default="300,600",
+                    help="fit iteration counts, comma list")
+    ap.add_argument("--schedules", default="1500:500,3000:1000",
+                    help="deformer it1:it2 schedules, comma list")
     a = ap.parse_args()
     skip = set(filter(None, a.skip.split(",")))
     if "fit" not in skip:
-        fit_grid()
+        fit_grid(budgets=tuple(int(x) for x in a.budgets.split(",")),
+                 iter_counts=tuple(int(x) for x in a.fit_iters.split(",")))
     if "deformer" not in skip:
-        deformer_grid()
+        deformer_grid(schedules=tuple(
+            tuple(int(x) for x in s.split(":")) for s in a.schedules.split(",")
+        ))
 
 
 if __name__ == "__main__":
