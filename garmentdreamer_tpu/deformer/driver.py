@@ -69,7 +69,10 @@ from garmentdreamer_tpu.meshops import (
     transform_view,
     vertex_normals,
 )
-from garmentdreamer_tpu.rast import gl_mvp, near_far_from_aabb, render_gbuffer, vertex_visibility
+from garmentdreamer_tpu.rast import (
+    gl_mvp, near_far_from_aabb, render_gbuffer, vertex_visibility,
+    visibility_from_face_ids,
+)
 
 __all__ = ["DeformerConfig", "deformation"]
 
@@ -102,6 +105,11 @@ class DeformerConfig:
     # loss weights for the FIRST stage are fixed in code (deformation.py:143-147)
     first_stage_weights: Tuple[float, float, float] = (2.0, 0.1, 800.0)
     visibility_upsample: int = 2
+    # True: stage-2 visibility comes from the loss render's face-id buffer
+    # (no extra rasterization); False: dedicated supersampled pass at
+    # visibility_upsample x the render resolution (closer to the
+    # reference's 8x re-render, renderer.py:104-126)
+    visibility_from_gbuffer: bool = True
     max_tiles_per_tri: int = 32
     max_per_tile: int = 512
     save_frequency: int = 500
@@ -286,18 +294,6 @@ def deformation(
             tgt_rgb = tgt["rgb"][pi]
             g_rf = jax.tree_util.tree_map(lambda a: a[pi], grf)
 
-            # visibility lives INSIDE the step (one program dispatch per
-            # iteration, not two -- each dispatch is ~5-8 ms via the tunnel)
-            if cfg.optim_only_visible:
-                verts_now = v0 + offsets
-                vis = vertex_visibility(
-                    verts_now, faces, mvp[None], H, W, int(v0.shape[0]),
-                    cfg.visibility_upsample, cfg.max_tiles_per_tri,
-                    cfg.max_per_tile,
-                )
-            else:
-                vis = jnp.ones((v0.shape[0],), bool)
-
             def loss_fn(off, sp):
                 verts = v0 + off
                 vn = vertex_normals(verts, faces, V)
@@ -330,12 +326,35 @@ def deformation(
                 weights["normal_consistency"] = w_nc
                 total = sum(weights[k] * v for k, v in l.items())
                 l["n_dropped"] = g["n_dropped"]
+                l["face_id"] = g["face_id"]
                 return total, l
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, (0, 1), has_aux=True)(
                 offsets, sh_params
             )
             g_off, g_sh = grads
+
+            # visibility lives INSIDE the step (one program dispatch per
+            # iteration, not two -- each dispatch is ~5-8 ms via the tunnel).
+            # Default: derived from the loss render's own face-id buffer --
+            # the same vertices at the same view were just rasterized, so a
+            # second (2x-supersampled) rasterization pays a full extra
+            # raster + 4x the sort rows for sub-pixel faces whose gradients
+            # this step are zero regardless. The supersampled pass stays
+            # behind visibility_from_gbuffer=False for reference parity
+            # (renderer.py:104-126 rasterizes 8x).
+            if cfg.optim_only_visible and cfg.visibility_from_gbuffer:
+                vis = visibility_from_face_ids(
+                    aux["face_id"], faces, int(v0.shape[0])
+                )
+            elif cfg.optim_only_visible:
+                vis = vertex_visibility(
+                    v0 + offsets, faces, mvp[None], H, W, int(v0.shape[0]),
+                    cfg.visibility_upsample, cfg.max_tiles_per_tri,
+                    cfg.max_per_tile,
+                )
+            else:
+                vis = jnp.ones((v0.shape[0],), bool)
             # fresh-Adam single step == lr * g / (|g| + eps) on visible verts
             # (deformation.py:304-313; Adam bias-corrected first step)
             upd = -lr_vertices * g_off / (jnp.abs(g_off) + 1e-8)

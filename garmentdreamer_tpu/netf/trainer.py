@@ -78,6 +78,9 @@ class NeTFConfig:
     # without per-iteration host dispatch (the axon tunnel costs ms per
     # dispatch on a 1-vCPU host). One chunk boundary per progress report.
     fit_scan_chunk: int = 100
+    # VSD refinement iterations fused the same way; 10 divides the bench
+    # delta counts and keeps the per-chunk working set at one step's.
+    vsd_scan_chunk: int = 10
     K: int = 1
     K2: int = 1
     uncond_p: float = 0.1
@@ -330,70 +333,118 @@ class NeTFTrainer:
         # constants; see SDSGuidance.__call__ params contract)
         sd_params = {"unet": guidance.unet_params, "vae": guidance.vae_params}
 
-        @conv_jit
-        def vsd_step(params, pose, pose16, q_params, rng, sd_p):
-            def loss_fn(p):
-                out = render_textured(
-                    p, verts, faces, pose, proj, res, res, field,
-                    max_tiles_per_tri=cfg.max_tiles_per_tri,
-                    max_per_tile=cfg.max_per_tile,
-                )
-                loss, latents = guidance.train_step(
-                    q_params, out["image"][None], text, pose16, rng, params=sd_p
-                )
-                return loss, latents
-
-            (loss, latents), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            return grads, loss, latents
-
-        @conv_jit
-        def lora_step(train, frozen, lora_opt_state, latents, pose16, rng):
-            def loss_fn(tr):
-                return guidance.lora_loss(
-                    merge(tr, frozen), latents, text[:1], pose16, rng,
-                    cfg.uncond_p,
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(train)
-            updates, lora_opt_state = lora_opt.update(grads, lora_opt_state)
-            return optax.apply_updates(train, updates), lora_opt_state, loss
-
-        @jax.jit
-        def tex_accum(accum, grads):
-            return jax.tree_util.tree_map(jnp.add, accum, grads)
-
-        @jax.jit
-        def tex_apply(params, opt_state, accum):
-            updates, opt_state = opt.update(accum, opt_state)
-            params = optax.apply_updates(params, updates)
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, accum)
-            return params, opt_state, zeros
-
-        accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
-        for step_i in range(1, cfg.iters + 1):
+        # The whole refinement loop runs as iters/vsd_scan_chunk on-device
+        # lax.scan programs (same dispatch-fusion as fit_texture /
+        # deformer.driver): one Python dispatch per iteration was marshalling
+        # the ~1200-leaf frozen UNet+VAE tree through the tunnel three times
+        # per step (vsd grad, accum, lora update), which dominated the
+        # measured 1454 ms/it round-4 rate. The camera pose per step is a
+        # pure function of the host rng sequence, so the full pose schedule
+        # is precomputed; the grad-accumulation cadence (batch_size_train)
+        # and the K-per-K2 LoRA updates become lax.cond/fori_loop on the
+        # in-scan step counter (reference loop: netf/trainer.py:158-262).
+        total = cfg.iters
+        pose_list = []
+        for _ in range(total):
             ver = self.np_rng.randint(-65, 35)
             hor = self.np_rng.randint(-180, 180)
             radius = self.np_rng.uniform() * 4 - 3
-            pose = jnp.asarray(orbit_pose(ver, hor, cfg.radius + radius))
-            pose16 = pose.reshape(1, 16)
+            pose_list.append(orbit_pose(ver, hor, cfg.radius + radius))
+        poses = (
+            jnp.asarray(np.stack(pose_list), jnp.float32)
+            if pose_list else jnp.zeros((0, 4, 4), jnp.float32)
+        )
+        pose16s = poses.reshape(-1, 1, 16)
+        steps = jnp.arange(1, total + 1, dtype=jnp.int32)
+        # per-step flags precomputed on host so the compiled program does not
+        # depend on `total` (one executable serves any iteration count whose
+        # chunking matches; scan length is the only remaining shape)
+        steps_np = np.arange(1, total + 1, dtype=np.int32)
+        tex_apply_flags = jnp.asarray(
+            (steps_np % cfg.batch_size_train == 0) | (steps_np == total)
+        )
+        lora_flags = jnp.asarray(steps_np % cfg.K2 == 0)
+        self.rng, base_key = jax.random.split(self.rng)
 
-            self.rng, r1, r2 = jax.random.split(self.rng, 3)
-            grads, loss, latents = vsd_step(
-                self.tex_params, pose, pose16, merge(train_p, frozen_p), r1,
-                sd_params,
-            )
-            accum = tex_accum(accum, grads)
-            if step_i % cfg.batch_size_train == 0 or step_i == cfg.iters:
-                self.tex_params, self.tex_opt_state, accum = tex_apply(
-                    self.tex_params, self.tex_opt_state, accum
+        @conv_jit
+        def run_chunk(tex_params, opt_state, accum, train, lora_state,
+                      frozen, sd_p, key, poses_c, pose16_c, steps_c,
+                      tex_flags_c, lora_flags_c):
+            def body(carry, xs):
+                tex_params, opt_state, accum, train, lora_state = carry
+                pose, pose16, step, tex_flag, lora_flag = xs
+                r1, r3 = jax.random.split(jax.random.fold_in(key, step))
+                qp = merge(train, frozen)
+
+                def loss_fn(p):
+                    out = render_textured(
+                        p, verts, faces, pose, proj, res, res, field,
+                        max_tiles_per_tri=cfg.max_tiles_per_tri,
+                        max_per_tile=cfg.max_per_tile,
+                    )
+                    loss, latents = guidance.train_step(
+                        qp, out["image"][None], text, pose16, r1, params=sd_p
+                    )
+                    return loss, latents
+
+                (loss, latents), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(tex_params)
+                accum = jax.tree_util.tree_map(jnp.add, accum, grads)
+
+                def tex_apply(args):
+                    p, o, a = args
+                    updates, o = opt.update(a, o)
+                    p = optax.apply_updates(p, updates)
+                    return p, o, jax.tree_util.tree_map(jnp.zeros_like, a)
+
+                tex_params, opt_state, accum = jax.lax.cond(
+                    tex_flag, tex_apply, lambda a: a,
+                    (tex_params, opt_state, accum),
                 )
 
-            if step_i % cfg.K2 == 0:
-                for _ in range(cfg.K):
-                    self.rng, r3 = jax.random.split(self.rng)
-                    train_p, lora_opt_state, _ = lora_step(
-                        train_p, frozen_p, lora_opt_state, latents, pose16, r3
-                    )
+                def lora_updates(args):
+                    def one(i, ts):
+                        tr, st = ts
+
+                        def lf(t_):
+                            return guidance.lora_loss(
+                                merge(t_, frozen), latents, text[:1], pose16,
+                                jax.random.fold_in(r3, i), cfg.uncond_p,
+                            )
+
+                        g = jax.grad(lf)(tr)
+                        up, st = lora_opt.update(g, st)
+                        return optax.apply_updates(tr, up), st
+
+                    return jax.lax.fori_loop(0, cfg.K, one, args)
+
+                train, lora_state = jax.lax.cond(
+                    lora_flag, lora_updates, lambda a: a,
+                    (train, lora_state),
+                )
+                return (tex_params, opt_state, accum, train, lora_state), loss
+
+            return jax.lax.scan(
+                body, (tex_params, opt_state, accum, train, lora_state),
+                (poses_c, pose16_c, steps_c, tex_flags_c, lora_flags_c),
+            )
+
+        accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
+        carry = (self.tex_params, self.tex_opt_state, accum, train_p,
+                 lora_opt_state)
+        chunk = max(1, min(cfg.vsd_scan_chunk, total)) if total else 1
+        i = 0
+        while i < total:
+            # a ragged tail compiles a second (shorter-scan) program once;
+            # every full chunk replays the same cached executable
+            n = min(chunk, total - i)
+            carry, _ = run_chunk(
+                *carry, frozen_p, sd_params, base_key,
+                poses[i:i + n], pose16s[i:i + n], steps[i:i + n],
+                tex_apply_flags[i:i + n], lora_flags[i:i + n],
+            )
+            i += n
+        self.tex_params, self.tex_opt_state, accum, train_p, lora_opt_state = carry
 
         self.q_params = merge(train_p, frozen_p)
         self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))

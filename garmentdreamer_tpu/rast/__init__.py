@@ -3,7 +3,10 @@ N6 of SURVEY.md section 2.1): tile-binned z-buffer kernel, perspective-correct
 interpolation, analytic silhouette antialiasing, G-buffer rendering, vertex
 visibility."""
 
-from .gbuffer import near_far_from_aabb, render_gbuffer, vertex_visibility
+from .gbuffer import (
+    near_far_from_aabb, render_gbuffer, vertex_visibility,
+    visibility_from_face_ids,
+)
 from .project import gl_mvp, gl_projection, opencv_camera_center, transform_clip
 from .rasterize import (
     TILE,
@@ -31,5 +34,6 @@ __all__ = [
     "opencv_camera_center",
     "render_gbuffer",
     "vertex_visibility",
+    "visibility_from_face_ids",
     "near_far_from_aabb",
 ]

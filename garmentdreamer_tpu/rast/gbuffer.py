@@ -27,7 +27,10 @@ import numpy as np
 from .project import gl_mvp, transform_clip
 from .rasterize import Rasterized, antialias, barycentrics, interpolate, rasterize
 
-__all__ = ["render_gbuffer", "vertex_visibility", "near_far_from_aabb"]
+__all__ = [
+    "render_gbuffer", "vertex_visibility", "visibility_from_face_ids",
+    "near_far_from_aabb",
+]
 
 
 def near_far_from_aabb(
@@ -97,23 +100,56 @@ def vertex_visibility(
     def one_view(mvp):
         clip = transform_clip(verts, mvp)
         rast = rasterize(clip, faces, H, W, max_tiles_per_tri, max_per_tile)
-        fid = jnp.where(rast.face_id >= 0, rast.face_id, F).reshape(-1)
-        # "which faces own a pixel" via sort instead of a megapixel scatter:
-        # a (2*H)x(2*W) .at[fid].set lowers to a per-row scalar scatter
-        # (~50 ms/M rows on v5e) while two u32 sorts cost ~5 ms/M. Sort the
-        # ids, keep first-occurrence boundaries, push non-boundaries to the
-        # dump id F by a second sort, then scatter only the first F+1 rows
-        # (every distinct id is a boundary, so they all land there).
-        ids_sorted = jnp.sort(fid)
-        boundary = jnp.concatenate(
-            [jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]]
-        )
-        distinct = jnp.sort(jnp.where(boundary, ids_sorted, F))[: F + 1]
-        face_hit = jnp.zeros((F + 1,), jnp.bool_).at[distinct].set(True)
-        return face_hit[:-1]
+        return _face_hit_from_ids(rast.face_id, F)
 
     face_hit = jnp.any(jax.vmap(one_view)(mvps), axis=0)
+    return _vertex_vis_from_face_hit(face_hit, faces, num_vertices)
+
+
+def _face_hit_from_ids(face_id: jnp.ndarray, F: int) -> jnp.ndarray:
+    """(..., ) pixel face ids (−1 = miss) -> (F,) bool faces owning a pixel.
+
+    "Which faces own a pixel" via sort instead of a megapixel scatter: a
+    HxW .at[fid].set lowers to a per-row scalar scatter (~50 ms/M rows on
+    v5e) while two u32 sorts cost ~5 ms/M. Sort the ids, keep
+    first-occurrence boundaries, push non-boundaries to the dump id F by a
+    second sort, then scatter only the first F+1 rows (every distinct id is
+    a boundary, so they all land there)."""
+    fid = jnp.where(face_id >= 0, face_id, F).reshape(-1)
+    ids_sorted = jnp.sort(fid)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), ids_sorted[1:] != ids_sorted[:-1]]
+    )
+    distinct = jnp.sort(jnp.where(boundary, ids_sorted, F))[: F + 1]
+    face_hit = jnp.zeros((F + 1,), jnp.bool_).at[distinct].set(True)
+    return face_hit[:-1]
+
+
+def _vertex_vis_from_face_hit(
+    face_hit: jnp.ndarray, faces: jnp.ndarray, num_vertices: int
+) -> jnp.ndarray:
     vis = jnp.zeros((num_vertices,), jnp.bool_)
     for k in range(3):
         vis = vis.at[faces[:, k]].max(face_hit)
     return vis
+
+
+def visibility_from_face_ids(
+    face_id: jnp.ndarray, faces: jnp.ndarray, num_vertices: int
+) -> jnp.ndarray:
+    """(V,) bool from an ALREADY-RENDERED face-id buffer (one or more views).
+
+    A G-buffer pass over the same vertices at the same view already names
+    every visible face, so callers that just rasterized (the stage-2
+    deformer step renders a 1024^2 G-buffer for its losses every iteration)
+    get visibility for two sorts + one small scatter instead of a second,
+    supersampled rasterization (reference recomputes visibility with a
+    full 8x-resolution re-render per iteration, renderer.py:104-126 /
+    deformation.py:277-283). Resolution is the G-buffer's own: faces whose
+    coverage rounds to zero pixels there are treated as hidden — their
+    loss gradient through that same buffer is zero anyway, so masking
+    their vertices' update matches what the supersampled pass would have
+    optimized."""
+    return _vertex_vis_from_face_hit(
+        _face_hit_from_ids(face_id, int(faces.shape[0])), faces, num_vertices
+    )

@@ -216,6 +216,30 @@ class TestRasterize:
         vis = vertex_visibility(verts, faces, mvp[None], 64, 64, 4, upsample=1)
         assert np.asarray(vis).all()
 
+    def test_visibility_from_face_ids_matches_dedicated_pass(self):
+        """Deriving visibility from an already-rendered face-id buffer agrees
+        with vertex_visibility at the same raster resolution (the stage-2
+        deformer default reuses the loss render's buffer)."""
+        from garmentdreamer_tpu.rast import visibility_from_face_ids
+
+        rs = np.random.RandomState(0)
+        # random triangle soup around the origin: some faces occluded/offscreen
+        verts = jnp.asarray(rs.uniform(-0.9, 0.9, (60, 3)).astype(np.float32))
+        faces = jnp.asarray(rs.randint(0, 60, (40, 3)).astype(np.int32))
+        K = np.array([[64.0, 0, 32.0], [0, 64.0, 32.0], [0, 0, 1]], np.float32)
+        mvp = jnp.asarray(
+            gl_mvp(K, np.eye(3, dtype=np.float32),
+                   np.array([0, 0, 2.5], np.float32), 64, 64, n=0.5, f=10.0)
+        )
+        vn = vertex_normals(verts, faces, 60)
+        g = render_gbuffer(verts, faces, vn, mvp, 64, 64)
+        vis_reuse = np.asarray(visibility_from_face_ids(g["face_id"], faces, 60))
+        vis_pass = np.asarray(
+            vertex_visibility(verts, faces, mvp[None], 64, 64, 60, upsample=1)
+        )
+        np.testing.assert_array_equal(vis_reuse, vis_pass)
+        assert vis_pass.any() and not vis_pass.all()
+
 
 # ---------------------------------------------------------------------------
 # meshops
