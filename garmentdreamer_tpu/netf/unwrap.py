@@ -268,6 +268,36 @@ def _grid_pack(
 
     total = float(np.sum([area_of(uv) for _, uv in charts]))
     side = np.sqrt(total / target_util)
+    # the realized inter-chart gap is gutter_px texels = c*side world units,
+    # INDEPENDENT of chart size -- at small texture resolutions it dominates
+    # (3 px of a 32-texel atlas is ~10% of the side PER chart PER axis), so
+    # size the atlas for the dilated bboxes, not the raw triangle area:
+    # side^2 * eff >= sum (bw+c*side)(bh+c*side), a quadratic in side
+    c = gutter_px / max(resolution, 1)
+    exts = np.array([uv.reshape(-1, 2).max(0) for _, uv in charts])
+    n = len(charts)
+    # side^2 >= total/target + per-chart gutter band (c*side per axis) +
+    # per-chart gutter corner (c*side)^2 -- a quadratic in side. At
+    # production scale (c ~ 0.003) the extra terms vanish and side stays the
+    # raw-area estimate; at tiny resolutions they dominate and fixed-growth
+    # restarts could never catch up.
+    A = 1.0 - n * c * c
+    B = c * float(exts.sum())
+    if A <= 1e-6:
+        # n charts x (gutter_px)^2 texels of padding alone exceed the
+        # texture: no atlas side helps (the gutter is fixed in texels)
+        raise RuntimeError(
+            f"{n} charts cannot fit a {resolution}px atlas with a "
+            f"{gutter_px}px gutter"
+        )
+    side_q = (B + np.sqrt(B * B + 4 * A * side * side)) / (2 * A)
+    # engage the bbox-based estimate ONLY when the gutter regime dominates
+    # (tiny atlases): it ignores gutter sharing between neighbors, so at
+    # production scale it inflates side a few %, which removes the packing
+    # pressure that drives split-to-fit -- utilization drops ~80% -> ~65%.
+    # Near-raw estimates are better served by splitting + 5% restarts.
+    if side_q > 1.25 * side:
+        side = side_q
     S = 512  # occupancy cells per atlas side (2 texels/cell at 1024)
 
     for _restart in range(10):
@@ -302,7 +332,12 @@ def _grid_pack(
                 if best is None or (y, x) < (best[0], best[1]):
                     best = (y, x, mm, tr)
             if best is None:
-                if len(fid) > 1:
+                # split only when the chart is big relative to the gutter:
+                # each cut child pays the full 2*dilate-cell dilation again,
+                # so cutting gutter-dominated pieces shrinks nothing and
+                # floods the grid with padding
+                big = min(uv.reshape(-1, 2).max(0)) * scale >= 6 * dilate
+                if len(fid) > 1 and big:
                     for part in _median_cut(fid, uv):
                         tick += 1
                         heapq.heappush(
@@ -324,7 +359,10 @@ def _grid_pack(
             placed.append((fid, uv, off, tr))
         if ok:
             return placed, (used_x / scale, used_y / scale)
-        side *= 1.05
+        # gentle growth first (keeps packing pressure high -> splits -> tight
+        # atlases), then escalate so mis-estimated sides still converge
+        # within the restart budget
+        side *= 1.05 if _restart < 5 else 1.3
     raise RuntimeError("grid packing failed to converge")
 
 
