@@ -219,3 +219,28 @@ class TestDeformationE2E:
         mesh = gio.load_obj(out)
         assert mesh.vertices.shape[0] > 0
         assert np.isfinite(mesh.vertices).all()
+
+
+class TestDeferredDropCanary:
+    """The driver collects per-chunk n_dropped maxima as device scalars and
+    syncs them ONCE per stage (_warn_dropped) instead of blocking after every
+    chunk -- one tunnel round-trip per stage instead of per dispatch."""
+
+    def test_warns_once_naming_worst_chunk(self, capsys):
+        from garmentdreamer_tpu.deformer.driver import _warn_dropped
+
+        pending = [(250, jnp.int32(0)), (500, jnp.int32(7)), (750, jnp.int32(3))]
+        warned = _warn_dropped(pending, "stage-1", False)
+        out = capsys.readouterr().out
+        assert warned is True
+        assert "stage-1 it 500" in out and "up to 7" in out
+
+    def test_silent_when_clean_and_skips_when_already_warned(self, capsys):
+        from garmentdreamer_tpu.deformer.driver import _warn_dropped
+
+        clean = [(10, jnp.int32(0))]
+        assert _warn_dropped(clean, "stage-1", False) is False
+        assert _warn_dropped([], "stage-2", False) is False
+        # already warned: no second sync, no second message
+        assert _warn_dropped([(10, jnp.int32(9))], "stage-2", True) is True
+        assert capsys.readouterr().out == ""
