@@ -383,8 +383,10 @@ def deformation(
     # the whole view-pick sequence is a pure function of the host seed:
     # precompute it and run the loop as chunked on-device lax.scan programs,
     # breaking only at checkpoint boundaries (same picks and same updates as
-    # the per-iteration loop; the drop canary is now the max over each chunk,
-    # checked with ONE device sync per chunk instead of one per 50 iters)
+    # the per-iteration loop; the drop canary is the max over each chunk,
+    # collected as device scalars and synced ONCE per stage -- a blocking
+    # int(nd) after every chunk paid one tunnel round-trip per dispatch,
+    # serializing host and device)
     offsets = jnp.zeros_like(v0)
     lo, hi = cfg.picked_views_first
     view_pool1 = [i for i in range(lo, min(hi, len(views)))] or list(range(len(views)))
@@ -409,19 +411,15 @@ def deformation(
         if cfg.save_frequency > 0
         else set()
     )
+    nd_pending: list = []
     for lo_it, hi_it in _chunk_bounds(0, cfg.iterations_first, save_pts1):
         offsets, vertex_opt_state, loss, nd = run1(
             offsets, vertex_opt_state, jnp.asarray(vi_seq1[lo_it:hi_it]), masks_d
         )
-        if not nd_warned and int(nd) > 0:
-            print(
-                f"[deformer] stage-1 it {hi_it}: up to {int(nd)} triangle "
-                "instances dropped by rasterizer caps -- raise "
-                "max_tiles_per_tri/max_per_tile", flush=True,
-            )
-            nd_warned = True
+        nd_pending.append((hi_it, nd))
         if hi_it in save_pts1:
             _save_mesh_checkpoint(meshes_dir, hi_it, v0, offsets, topo, A_inv)
+    nd_warned = _warn_dropped(nd_pending, "stage-1", nd_warned)
 
     # =========================== stage 2 ===========================
     rf_verts = v0 + jax.lax.stop_gradient(offsets)
@@ -453,6 +451,7 @@ def deformation(
     # boundary lands at (upsample_it - 1)
     events2 = save_pts2 | {u - 1 for u in cfg.upsample_iterations}
 
+    nd_pending = []
     for lo_it, hi_it in _chunk_bounds(cfg.iterations_first, total_second, events2):
         if lo_it + 1 in cfg.upsample_iterations:
             new = _try_remesh(v0 + offsets, topo)
@@ -481,15 +480,10 @@ def deformation(
             jnp.asarray(pi_seq[s0:s1]), key_seq[s0:s1],
             targets2_d, grf_stack,
         )
-        if not nd_warned and int(nd) > 0:
-            print(
-                f"[deformer] stage-2 it {hi_it}: up to {int(nd)} triangle "
-                "instances dropped by rasterizer caps -- raise "
-                "max_tiles_per_tri/max_per_tile", flush=True,
-            )
-            nd_warned = True
+        nd_pending.append((hi_it, nd))
         if hi_it in save_pts2:
             _save_mesh_checkpoint(meshes_dir, hi_it, v0, offsets, topo, A_inv)
+    nd_warned = _warn_dropped(nd_pending, "stage-2", nd_warned)
 
     # =========================== export ===========================
     final_local = np.asarray(v0 + offsets)
@@ -501,6 +495,24 @@ def deformation(
     final_path = os.path.join(os.path.dirname(output_dir), "final_mesh.obj")
     _write_final_mesh(final_path, final_world, topo.faces, cfg.decimate_target)
     return final_path
+
+
+def _warn_dropped(pending, stage, warned):
+    """Deferred drop-canary check: sync all per-chunk n_dropped maxima in one
+    device->host transfer at the end of the stage (pending holds (iteration,
+    device scalar) pairs) and warn once, naming the worst chunk."""
+    if warned or not pending:
+        return warned
+    nds = np.asarray(jnp.stack([nd for _, nd in pending]))
+    if int(nds.max()) > 0:
+        it = pending[int(nds.argmax())][0]
+        print(
+            f"[deformer] {stage} it {it}: up to {int(nds.max())} triangle "
+            "instances dropped by rasterizer caps -- raise "
+            "max_tiles_per_tri/max_per_tile", flush=True,
+        )
+        return True
+    return warned
 
 
 def _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv):

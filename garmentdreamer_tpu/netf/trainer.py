@@ -78,9 +78,11 @@ class NeTFConfig:
     # without per-iteration host dispatch (the axon tunnel costs ms per
     # dispatch on a 1-vCPU host). One chunk boundary per progress report.
     fit_scan_chunk: int = 100
-    # VSD refinement iterations fused the same way; 10 divides the bench
-    # delta counts and keeps the per-chunk working set at one step's.
-    vsd_scan_chunk: int = 10
+    # VSD refinement iterations fused the same way; 25 divides the reference
+    # count (200) so production replays one compiled executable with no
+    # ragged tail, and amortizes the per-dispatch arg marshalling (~1200
+    # frozen UNet+VAE leaves) to well under 1% of a step.
+    vsd_scan_chunk: int = 25
     K: int = 1
     K2: int = 1
     uncond_p: float = 0.1

@@ -204,7 +204,7 @@ def stage3_deformer(H=1024, W=1024):
     # runs use iteration counts that are exact multiples of one chunk size:
     # every run then reuses the same compiled chunk program and the delta
     # isolates steady-state iteration cost (incl. the amortized dispatch)
-    CH = 10
+    CH = 25
 
     def run(it1, it2):
         cfg = DeformerConfig(
@@ -327,7 +327,7 @@ def stage4_netf(H=1024):
     # fit iterations run as fixed-length lax.scan chunks (static scan
     # length): keep all runs at exact multiples of one chunk size so the
     # delta only ever replays the same compiled program
-    FCH = 10
+    FCH = 25
 
     def run_fit(iters):
         cfg = NeTFConfig(fit_tex_iters=iters, iters=0, fit_scan_chunk=FCH,
@@ -345,7 +345,7 @@ def stage4_netf(H=1024):
     # VSD iterations run as vsd_scan_chunk-length lax.scan programs: keep
     # every run an exact multiple of the chunk so the delta only replays the
     # one compiled executable (scan length is static)
-    VCH = 10
+    VCH = 25
 
     def run_vsd(iters):
         cfg = NeTFConfig(fit_tex_iters=0, iters=iters, vsd_scan_chunk=VCH,

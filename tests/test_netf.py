@@ -286,7 +286,19 @@ class TestVSD:
         tr = NeTFTrainer(cfg, str(mesh_path), str(tmp_path), str(tmp_path / "out"),
                          guidance=g, text_embeddings=text, q_params=q)
         before = dict(tu.flatten_dict(jax.tree_util.tree_map(np.asarray, q)))
+        tex_before = jax.tree_util.tree_map(np.asarray, tr.tex_params)
         tr.train_vsd()
+        # the texture field is the thing VSD refinement exists to update
+        # (reference steps tex params every batch_size_train accumulated
+        # grads, netf/trainer.py:158-262): every leaf must move through the
+        # chunked-scan path, all finite
+        tex_moved = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(tex_before),
+                        jax.tree_util.tree_leaves(tr.tex_params)):
+            b = np.asarray(b)
+            assert np.isfinite(b).all()
+            tex_moved = max(tex_moved, float(np.abs(b - a).max()))
+        assert tex_moved > 0, "texture field did not update during VSD"
         after = tu.flatten_dict(jax.tree_util.tree_map(np.asarray, tr.q_params))
         changed_base, changed_train = [], []
         for k, v_after in after.items():
