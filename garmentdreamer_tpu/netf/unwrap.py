@@ -241,6 +241,7 @@ def _grid_pack(
     resolution: int,
     gutter_px: float,
     target_util: float = 0.88,
+    grid_cells: int = 512,
 ) -> Tuple[List[Tuple[List[int], np.ndarray, np.ndarray, bool]], Tuple[float, float]]:
     """xatlas-style occupancy packing with split-to-fit: the atlas side is
     FIXED at the target utilization, each chart's cell mask is placed onto a
@@ -298,7 +299,7 @@ def _grid_pack(
     # Near-raw estimates are better served by splitting + 5% restarts.
     if side_q > 1.25 * side:
         side = side_q
-    S = 512  # occupancy cells per atlas side (2 texels/cell at 1024)
+    S = grid_cells  # occupancy cells per atlas side
 
     for _restart in range(10):
         scale = S / side
