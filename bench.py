@@ -53,7 +53,9 @@ _TRANSIENT_MARKERS = (
     "Socket closed",
     "Connection reset",
     "failed to connect",
-    "RESOURCE_EXHAUSTED: Attempting to reserve",
+    # NOTE: device OOM (RESOURCE_EXHAUSTED) is deterministic for a fixed
+    # workload and deliberately NOT here -- retrying/re-exec'ing a genuine
+    # OOM only delays the real error (ADVICE r4)
 )
 
 

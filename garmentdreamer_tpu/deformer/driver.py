@@ -23,8 +23,9 @@ configs/garment_deformer_configs.yml). Structure preserved:
   update instead of rebuilding optimizer state (same numerics, no host sync);
   the shader's Adam is persistent (deformation.py:140);
 * remesh at 3500 with half average edge length, x4 laplacian/nc weights,
-  x0.25 lr (deformation.py:273-295) -- via the native geometry library when
-  built, otherwise skipped with a warning (gpytoolbox is not vendored);
+  x0.25 lr (deformation.py:273-295) -- via the native geometry library,
+  compiled on demand (g++); a failed build is a hard error, never a silent
+  skip (the reference remeshes unconditionally via gpytoolbox);
 * export: denormalize, write mesh_{N}.obj, then final_mesh.obj post-processed
   (rotate -90deg about x, decimate to 40k faces) (deformation.py:410-414,
   deformer/utils/io.py:18-37).
@@ -147,7 +148,12 @@ def deformation(
     cfg: Optional[DeformerConfig] = None,
     output_dir: Optional[str] = None,
     views: Optional[List[LoadedView]] = None,
+    mesh_devices: int = 0,
 ) -> str:
+    """``mesh_devices`` > 0 strip-shards each step's G-buffer render +
+    per-pixel losses over that many chips (deformer/strips.py): the loop
+    stays sequential, but ~all of a step's cost is per-pixel, so the step
+    latency drops ~linearly with the strip count."""
     cfg = cfg or DeformerConfig()
     rng = np.random.RandomState(cfg.seed)
     output_dir = output_dir or os.path.join(sample_dir, "deformation_check")
@@ -214,10 +220,31 @@ def deformation(
 
     w_mask1, w_nc1, w_lap1 = cfg.first_stage_weights
 
+    # ---- optional strip mesh (intra-step spatial sharding) ----
+    mesh = None
+    if mesh_devices:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from garmentdreamer_tpu.deformer.strips import AXIS
+
+        devs = jax.devices()
+        if len(devs) < mesh_devices:
+            raise ValueError(f"need {mesh_devices} devices, have {len(devs)}")
+        if H % mesh_devices:
+            raise ValueError(
+                f"render height {H} not divisible by {mesh_devices} strips"
+            )
+        mesh = Mesh(np.array(devs[:mesh_devices]), (AXIS,))
+        S = mesh_devices
+        _row_sharded = NamedSharding(mesh, P(None, AXIS))
+
     # big per-view stacks enter the jitted steps as ARGUMENTS -- closed-over
     # device arrays are baked into the HLO as constants and the axon remote
-    # compile service rejects multi-GB programs
+    # compile service rejects multi-GB programs; under a strip mesh each
+    # device holds only its own rows of every view target
     masks_d = jnp.asarray(targets["mask"])  # (V_views, H, W, 1)
+    if mesh is not None:
+        masks_d = jax.device_put(masks_d, _row_sharded)
 
     # ---- stage-1 jitted scan (one dispatch per chunk of iterations) ----
     @jax.jit
@@ -334,31 +361,52 @@ def deformation(
             )
             g_off, g_sh = grads
 
+            def reg_grad(off):
+                """Gradient of the coverage-independent regularizers only
+                (laplacian + normal consistency): what an invisible-at-1x
+                vertex still owes. Cheap -- no render involved."""
+                verts = v0 + off
+                return (
+                    w_nc * normal_consistency_loss(verts, faces, connected)
+                    + w_lap * laplacian_loss(verts, edges, degree)
+                )
+
             # visibility lives INSIDE the step (one program dispatch per
             # iteration, not two -- each dispatch is ~5-8 ms via the tunnel).
             # Default: derived from the loss render's own face-id buffer --
             # the same vertices at the same view were just rasterized, so a
             # second (2x-supersampled) rasterization pays a full extra
-            # raster + 4x the sort rows for sub-pixel faces whose gradients
-            # this step are zero regardless. The supersampled pass stays
-            # behind visibility_from_gbuffer=False for reference parity
-            # (renderer.py:104-126 rasterizes 8x).
+            # raster + 4x the sort rows. The 1x buffer misses sub-pixel
+            # faces the reference's 8x pass (renderer.py:104-126) would
+            # catch; their DATA gradients through this buffer are zero, but
+            # the laplacian/normal-consistency regularizers are
+            # coverage-independent, so invisible-at-1x vertices step on the
+            # regularizer-only gradient instead of freezing (ADVICE r4).
+            # The supersampled pass stays behind
+            # visibility_from_gbuffer=False for reference parity (there the
+            # mask is absolute, like the reference's fresh visible-only
+            # Adam, deformation.py:304-313).
             if cfg.optim_only_visible and cfg.visibility_from_gbuffer:
                 vis = visibility_from_face_ids(
                     aux["face_id"], faces, int(v0.shape[0])
                 )
+                g_reg = jax.grad(reg_grad)(offsets)
             elif cfg.optim_only_visible:
                 vis = vertex_visibility(
                     v0 + offsets, faces, mvp[None], H, W, int(v0.shape[0]),
                     cfg.visibility_upsample, cfg.max_tiles_per_tri,
                     cfg.max_per_tile,
                 )
+                g_reg = jnp.zeros_like(g_off)
             else:
                 vis = jnp.ones((v0.shape[0],), bool)
+                g_reg = jnp.zeros_like(g_off)
             # fresh-Adam single step == lr * g / (|g| + eps) on visible verts
             # (deformation.py:304-313; Adam bias-corrected first step)
             upd = -lr_vertices * g_off / (jnp.abs(g_off) + 1e-8)
-            offsets = jnp.where(vis[:, None], offsets + upd, offsets)
+            upd_invis = -lr_vertices * g_reg / (jnp.abs(g_reg) + 1e-8)
+            upd_invis = jnp.where(jnp.abs(g_reg) > 0, upd_invis, 0.0)
+            offsets = offsets + jnp.where(vis[:, None], upd, upd_invis)
 
             sh_updates, sh_opt_state = shader_opt.update(g_sh, sh_opt_state)
             sh_params = optax.apply_updates(sh_params, sh_updates)
@@ -378,6 +426,219 @@ def deformation(
             return offsets, sh_params, sh_opt_state, losses[-1], nds.max()
 
         return run2
+
+    # ---- strip-sharded program variants (deformer/strips.py) ----
+    if mesh is not None:
+        from garmentdreamer_tpu.parallel.dp import shard_map_nocheck
+
+        from garmentdreamer_tpu.deformer.strips import (
+            AXIS, render_gbuffer_strip, strip_hole_mask_loss, strip_mask_loss,
+            strip_normal_map_loss, strip_normal_map_loss_enhanced,
+            strip_shading_inputs,
+        )
+        from garmentdreamer_tpu.rast.gbuffer import (
+            _face_hit_from_ids, _vertex_vis_from_face_hit,
+        )
+
+        if cfg.optim_only_visible and not cfg.visibility_from_gbuffer:
+            raise NotImplementedError(
+                "strip mesh mode computes visibility from the strip face-id "
+                "buffers; the dedicated supersampled pass "
+                "(visibility_from_gbuffer=False) is single-device only"
+            )
+
+        def _run1_core(offsets, opt_state, vis, masks):
+            k = jax.lax.axis_index(AXIS)
+
+            def body(carry, vi):
+                off, ostate = carry
+                mvp = mvps_d[vi]
+                tgt_mask = masks[vi]  # (hs, W, 1) strip rows
+
+                def loss_fn(off_):
+                    verts = v0 + off_
+                    vn = vertex_normals(verts, faces, V)
+                    g = render_gbuffer_strip(
+                        verts, faces, vn, mvp, k, H, W, S,
+                        cfg.max_tiles_per_tri, cfg.max_per_tile,
+                    )
+                    l_mask = strip_mask_loss(tgt_mask, g["mask"], H, W)
+                    # vertex-local regularizers are replicated compute: /S so
+                    # the gradient psum counts them once
+                    l_reg = (
+                        w_nc1 * normal_consistency_loss(verts, faces, connected)
+                        + w_lap1 * laplacian_loss(verts, edges, degree)
+                    ) / S
+                    return w_mask1 * l_mask + l_reg, g["n_dropped"]
+
+                (loss, nd), grad = jax.value_and_grad(loss_fn, has_aux=True)(off)
+                grad = jax.lax.psum(grad, AXIS)
+                loss = jax.lax.psum(loss, AXIS)
+                nd = jax.lax.psum(nd, AXIS)
+                updates, ostate = vertex_opt.update(grad, ostate)
+                return (optax.apply_updates(off, updates), ostate), (loss, nd)
+
+            (offsets, opt_state), (losses, nds) = jax.lax.scan(
+                body, (offsets, opt_state), vis
+            )
+            return offsets, opt_state, losses[-1], nds.max()
+
+        from jax.sharding import PartitionSpec as P
+
+        run1 = jax.jit(
+            shard_map_nocheck(
+                _run1_core, mesh=mesh,
+                in_specs=(P(), P(), P(), P(None, AXIS)),
+                out_specs=(P(), P(), P(), P()),
+            )
+        )
+
+        def compute_rf_stack(rf_verts, picked):  # noqa: F811 - strip variant
+            """Frozen reference-mesh G-buffers, rendered per strip: device k
+            holds rows [k*hs, (k+1)*hs) of every picked view."""
+            rf_vn = vertex_normals(rf_verts, faces, int(rf_verts.shape[0]))
+            picked_mvps = mvps_d[jnp.asarray(np.asarray(picked, np.int32))]
+
+            def _core(mvps_p):
+                k = jax.lax.axis_index(AXIS)
+
+                def one(mvp):
+                    g = render_gbuffer_strip(
+                        rf_verts, faces, rf_vn, mvp, k, H, W, S,
+                        cfg.max_tiles_per_tri, cfg.max_per_tile,
+                    )
+                    return {kk: jax.lax.stop_gradient(g[kk])
+                            for kk in ("mask", "position", "normal")}
+
+                return jax.lax.map(one, mvps_p)
+
+            return jax.jit(
+                shard_map_nocheck(
+                    _core, mesh=mesh, in_specs=(P(),),
+                    out_specs=P(None, AXIS),
+                )
+            )(picked_mvps)
+
+        def make_step2(lr_vertices: float, w_lap: float, w_nc: float, picked):  # noqa: F811
+            picked_d = jnp.asarray(np.asarray(picked, np.int32))
+            ns_strip = max(1, cfg.shading_samples // S)
+
+            def _core(offsets, sh_params, sh_opt_state, pis, keys,
+                      t_mask_all, t_normal_all, t_rgb_all,
+                      rf_mask, rf_pos, rf_nrm):
+                k = jax.lax.axis_index(AXIS)
+
+                def step2(offsets, sh_params, sh_opt_state, pi, key):
+                    vi = picked_d[pi]
+                    mvp = mvps_d[vi]
+                    cam_R = Rs_d[vi]
+                    cam_c = centers_d[vi]
+                    t_mask = t_mask_all[vi]
+                    t_normal = t_normal_all[pi]
+                    t_rgb = t_rgb_all[pi]
+                    g_rf = {"mask": rf_mask[pi], "position": rf_pos[pi],
+                            "normal": rf_nrm[pi]}
+
+                    def loss_fn(off, sp):
+                        verts = v0 + off
+                        vn = vertex_normals(verts, faces, V)
+                        g = render_gbuffer_strip(
+                            verts, faces, vn, mvp, k, H, W, S,
+                            cfg.max_tiles_per_tri, cfg.max_per_tile,
+                        )
+                        l = {}
+                        l["hole_mask"] = strip_hole_mask_loss(g, g_rf, cam_R, cam_c)
+                        l["mask"] = strip_mask_loss(t_mask, g["mask"], H, W)
+                        l["normal_consistency"] = normal_consistency_loss(
+                            verts, faces, connected
+                        ) / S
+                        l["laplacian"] = laplacian_loss(verts, edges, degree) / S
+                        if cfg.enhanced_normal_map_loss:
+                            l["normal"] = strip_normal_map_loss_enhanced(
+                                t_normal, t_mask, g, cam_R, cam_c
+                            )
+                        else:
+                            l["normal"] = strip_normal_map_loss(
+                                t_normal, t_mask, g, cam_R
+                            )
+                        si = strip_shading_inputs(
+                            t_rgb, t_mask, g, cam_R, cam_c, key, k,
+                            ns_strip, cfg.shading_percentage,
+                        )
+                        pred = shader.apply(sp, si.position, si.normal, si.view_dir)
+                        l["shading"] = jnp.sum(
+                            jnp.abs(pred - si.target_rgb) * si.weight[:, None]
+                        ) / (si.denom * 3)
+                        weights = dict(stage2_weights)
+                        weights["laplacian"] = w_lap
+                        weights["normal_consistency"] = w_nc
+                        total = sum(weights[kk] * v for kk, v in l.items())
+                        l["n_dropped"] = g["n_dropped"]
+                        l["face_id"] = g["face_id"]
+                        return total, l
+
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, (0, 1), has_aux=True
+                    )(offsets, sh_params)
+                    g_off = jax.lax.psum(grads[0], AXIS)
+                    g_sh = jax.lax.psum(grads[1], AXIS)
+                    loss = jax.lax.psum(loss, AXIS)
+                    nd = jax.lax.psum(aux["n_dropped"], AXIS)
+
+                    if cfg.optim_only_visible:
+                        hit = _face_hit_from_ids(
+                            aux["face_id"], int(faces.shape[0])
+                        )
+                        hit = jax.lax.psum(hit.astype(jnp.int32), AXIS) > 0
+                        vis = _vertex_vis_from_face_hit(
+                            hit, faces, int(v0.shape[0])
+                        )
+                        g_reg = jax.grad(
+                            lambda off: w_nc * normal_consistency_loss(
+                                v0 + off, faces, connected
+                            ) + w_lap * laplacian_loss(v0 + off, edges, degree)
+                        )(offsets)
+                    else:
+                        vis = jnp.ones((v0.shape[0],), bool)
+                        g_reg = jnp.zeros_like(g_off)
+                    upd = -lr_vertices * g_off / (jnp.abs(g_off) + 1e-8)
+                    upd_invis = -lr_vertices * g_reg / (jnp.abs(g_reg) + 1e-8)
+                    upd_invis = jnp.where(jnp.abs(g_reg) > 0, upd_invis, 0.0)
+                    offsets = offsets + jnp.where(vis[:, None], upd, upd_invis)
+
+                    sh_updates, sh_opt_state = shader_opt.update(g_sh, sh_opt_state)
+                    sh_params = optax.apply_updates(sh_params, sh_updates)
+                    return offsets, sh_params, sh_opt_state, loss, nd
+
+                def body(carry, xs):
+                    off, sp, so = carry
+                    pi, key = xs
+                    off, sp, so, loss, nd = step2(off, sp, so, pi, key)
+                    return (off, sp, so), (loss, nd)
+
+                (offsets, sh_params, sh_opt_state), (losses, nds) = jax.lax.scan(
+                    body, (offsets, sh_params, sh_opt_state), (pis, keys)
+                )
+                return offsets, sh_params, sh_opt_state, losses[-1], nds.max()
+
+            core = jax.jit(
+                shard_map_nocheck(
+                    _core, mesh=mesh,
+                    in_specs=(P(), P(), P(), P(), P(),
+                              P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                              P(None, AXIS), P(None, AXIS), P(None, AXIS)),
+                    out_specs=(P(), P(), P(), P(), P()),
+                )
+            )
+
+            def run2(offsets, sh_params, sh_opt_state, pis, keys, tgt, grf):
+                return core(
+                    offsets, sh_params, sh_opt_state, pis, keys,
+                    tgt["mask"], tgt["normal"], tgt["rgb"],
+                    grf["mask"], grf["position"], grf["normal"],
+                )
+
+            return run2
 
     # =========================== stage 1 ===========================
     # the whole view-pick sequence is a pure function of the host seed:
@@ -418,7 +679,11 @@ def deformation(
         )
         nd_pending.append((hi_it, nd))
         if hi_it in save_pts1:
+            # the checkpoint save blocks for offsets anyway, so flushing the
+            # pending drop canaries here costs no extra sync (ADVICE r4)
             _save_mesh_checkpoint(meshes_dir, hi_it, v0, offsets, topo, A_inv)
+            nd_warned = _warn_dropped(nd_pending, "stage-1", nd_warned)
+            nd_pending = []
     nd_warned = _warn_dropped(nd_pending, "stage-1", nd_warned)
 
     # =========================== stage 2 ===========================
@@ -432,6 +697,10 @@ def deformation(
         "normal": jnp.asarray(targets["normal"][list(view_pool2)]),
         "rgb": jnp.asarray(targets["rgb"][list(view_pool2)]),
     }
+    if mesh is not None:
+        targets2_d = {
+            k_: jax.device_put(v, _row_sharded) for k_, v in targets2_d.items()
+        }
     run2 = make_step2(lr_v, w_lap, w_nc, view_pool2)
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -483,6 +752,8 @@ def deformation(
         nd_pending.append((hi_it, nd))
         if hi_it in save_pts2:
             _save_mesh_checkpoint(meshes_dir, hi_it, v0, offsets, topo, A_inv)
+            nd_warned = _warn_dropped(nd_pending, "stage-2", nd_warned)
+            nd_pending = []
     nd_warned = _warn_dropped(nd_pending, "stage-2", nd_warned)
 
     # =========================== export ===========================
@@ -526,18 +797,21 @@ def _save_mesh_checkpoint(meshes_dir, it, v0, offsets, topo, A_inv):
 
 def _try_remesh(verts, topo):
     """Botsch-Kobbelt remesh at half the average edge length via the native
-    geometry library (deformation.py:273-295). Returns None (skip) if the
-    library is unavailable."""
+    geometry library (deformation.py:273-295). The config DEMANDED a remesh
+    (upsample_iterations is non-empty), so an unavailable/unbuildable
+    library is a hard error, not a silent algorithm downgrade (the reference
+    remeshes unconditionally); geometry.py compiles the library on demand
+    with g++, so this only raises when that build itself fails."""
     try:
         from garmentdreamer_tpu.native import geometry as ng
-    except Exception:
-        import warnings
 
-        warnings.warn(
-            "native geometry library not built; skipping remesh at upsample "
-            "iteration (reference uses gpytoolbox.remesh_botsch)"
-        )
-        return None
+        ng._lib()  # force the on-demand build/dlopen NOW for a specific error
+    except Exception as e:
+        raise RuntimeError(
+            "native geometry library unavailable and the deformer config "
+            "demands a remesh (upsample_iterations); on-demand g++ build "
+            f"failed: {e}"
+        ) from e
     v = np.asarray(verts, np.float64)
     e = topo.edges
     h = float(np.linalg.norm(v[e[:, 0]] - v[e[:, 1]], axis=-1).mean() / 2)
@@ -556,16 +830,20 @@ def _write_final_mesh(path, verts, faces, decimate_target):
     v = verts @ Rx.T
     f = faces
     if f.shape[0] > decimate_target:
+        # the export contract requires <= decimate_target faces
+        # (io.py:25-36); a missing native library must fail loudly, not
+        # silently ship a different mesh (geometry.py builds on demand)
         try:
             from garmentdreamer_tpu.native import geometry as ng
 
-            v, f = ng.decimate(v.astype(np.float64), f, target_faces=decimate_target)
-            v = v.astype(np.float32)
-            f = f.astype(np.int32)
-        except Exception:
-            import warnings
-
-            warnings.warn(
-                "native geometry library not built; exporting undecimated mesh"
-            )
+            ng._lib()
+        except Exception as e:
+            raise RuntimeError(
+                "native geometry library unavailable but the final mesh "
+                f"needs decimation to {decimate_target} faces; on-demand "
+                f"g++ build failed: {e}"
+            ) from e
+        v, f = ng.decimate(v.astype(np.float64), f, target_faces=decimate_target)
+        v = v.astype(np.float32)
+        f = f.astype(np.int32)
     gio.save_obj(path, gio.ObjMesh(vertices=v, faces=f))

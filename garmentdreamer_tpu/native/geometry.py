@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
 from typing import Tuple
 
@@ -24,9 +25,13 @@ _LIB = None
 
 
 def _build() -> str:
+    # the cache key covers source AND architecture: a build/ dir synced to a
+    # different host must rebuild, not dlopen a foreign-arch .so
     with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    build_dir = os.path.join(_DIR, "build")
+        h = hashlib.sha256(f.read())
+    h.update(platform.machine().encode())
+    tag = h.hexdigest()[:16]
+    build_dir = os.environ.get("GD_NATIVE_BUILD_DIR") or os.path.join(_DIR, "build")
     os.makedirs(build_dir, exist_ok=True)
     so = os.path.join(build_dir, f"libgdgeom_{tag}.so")
     if not os.path.exists(so):

@@ -112,10 +112,30 @@ class NeTFTrainer:
         guidance: Optional[VSDGuidance] = None,
         text_embeddings: Optional[jnp.ndarray] = None,  # (2, L, D) pos ++ neg
         q_params: Optional[Dict[str, Any]] = None,
+        mesh_devices: int = 0,
     ):
+        """``mesh_devices`` > 0 shards the texture fit's per-step pixel
+        budget over that many chips: the SAME sampled pixel set is split
+        into contiguous slices, per-device partial losses/gradients are
+        ``psum``'d and every device applies the identical Adam update, so
+        the sharded fit reproduces the single-device fit to float
+        tolerance while the per-step pixel work drops by the device count
+        (the fit loop itself is sequential SGD and cannot be view-parallel,
+        netf/trainer.py:14-157)."""
         self.cfg = cfg
         self.outdir = outdir
         os.makedirs(outdir, exist_ok=True)
+        self.mesh = None
+        if mesh_devices:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < mesh_devices:
+                raise ValueError(
+                    f"need {mesh_devices} devices, have {len(devs)}"
+                )
+            self.mesh = Mesh(np.array(devs[:mesh_devices]), ("pix",))
+        self.mesh_devices = mesh_devices
         self.guidance = guidance
         self.text_embeddings = text_embeddings
         self.q_params = q_params
@@ -236,12 +256,22 @@ class NeTFTrainer:
         n_pix = res * res
         Q = min(cfg.fit_pixel_budget or n_pix, n_pix)
         sampled = Q < n_pix
+        S = self.mesh_devices if self.mesh is not None else 1
+        if Q % S:
+            raise ValueError(
+                f"fit pixel budget {Q} not divisible by {S} devices"
+            )
+        Qs = Q // S
 
         # the view stacks enter the jitted program as ARGUMENTS -- closed-over
         # device arrays of this size (~1 GB at 40 views @1024^2) are baked
         # into the HLO as constants and rejected by the remote compile service
-        @jax.jit
-        def run_chunk(params, opt_state, vis, keys, xyzs, oks, rgbs):
+        def _chunk_core(params, opt_state, vis, keys, xyzs, oks, rgbs):
+            # under the pixel mesh, every device draws the SAME pixel set
+            # (replicated key) and takes its contiguous Qs-slice; partial
+            # sums psum to the single-device numbers exactly
+            k = jax.lax.axis_index("pix") if S > 1 else 0
+
             def body(carry, xs):
                 p, o = carry
                 vi, key = xs
@@ -249,17 +279,26 @@ class NeTFTrainer:
                     pix = jax.random.randint(key, (Q,), 0, n_pix)
                 else:
                     pix = jnp.arange(n_pix, dtype=jnp.int32)
-                xyz_s = xyzs[vi, pix]  # (Q,3)
-                m = oks[vi, pix]  # (Q,)
-                tgt = rgbs[vi, pix]  # (Q,3)
+                if S > 1:
+                    pix = jax.lax.dynamic_slice_in_dim(pix, k * Qs, Qs)
+                xyz_s = xyzs[vi, pix]  # (Qs,3)
+                m = oks[vi, pix]  # (Qs,)
+                tgt = rgbs[vi, pix]  # (Qs,3)
 
                 def loss_fn(tp):
                     albedo = field.query(tp, xyz_s)
                     diff = (albedo - tgt) ** 2
-                    denom = jnp.maximum(jnp.sum(m), 1) * 3
+                    cnt = jnp.sum(m)
+                    if S > 1:
+                        # global valid count: non-differentiable, VJP-safe
+                        cnt = jax.lax.psum(cnt, "pix")
+                    denom = jnp.maximum(cnt, 1) * 3
                     return jnp.sum(jnp.where(m[:, None], diff, 0.0)) / denom
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
+                if S > 1:
+                    grads = jax.lax.psum(grads, "pix")
+                    loss = jax.lax.psum(loss, "pix")
                 updates, o = opt.update(grads, o)
                 return (optax.apply_updates(p, updates), o), loss
 
@@ -267,6 +306,23 @@ class NeTFTrainer:
                 body, (params, opt_state), (vis, keys)
             )
             return params, opt_state, losses[-1]
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from garmentdreamer_tpu.parallel.dp import shard_map_nocheck
+
+            # everything replicated: each device gathers arbitrary pixels
+            # from the full stacks (~1 GB at 40 views @1024^2 -- well within
+            # HBM), the split is in the INDEX set, not the data layout
+            run_chunk = jax.jit(
+                shard_map_nocheck(
+                    _chunk_core, mesh=self.mesh,
+                    in_specs=(P(),) * 7, out_specs=(P(), P(), P()),
+                )
+            )
+        else:
+            run_chunk = jax.jit(_chunk_core)
 
         # the whole fit runs as fit_tex_iters/chunk on-device scan programs:
         # view ids and rng keys are pure functions of the step index, so the

@@ -150,6 +150,19 @@ def _flatten_chart(
     return uv.astype(np.float64), all_pos or all_neg
 
 
+def _single_face_uv(verts: np.ndarray, faces: np.ndarray, f: int) -> np.ndarray:
+    """(1,3,2) UVs for one face from its two longest edge lengths: a right
+    triangle in world units, injective even when the face's planar
+    projection is degenerate. Fully collapsed faces (zero edges) get an
+    epsilon triangle so downstream area checks stay positive."""
+    p = verts[faces[f]]  # (3,3)
+    l0 = float(np.linalg.norm(p[1] - p[0]))
+    l1 = float(np.linalg.norm(p[2] - p[0]))
+    a = max(l0, l1, 1e-6)
+    b = max(min(l0, l1), 1e-6 * a, 1e-9)
+    return np.array([[[0.0, 0.0], [a, 0.0], [0.0, b]]], np.float64)
+
+
 def _charts_to_uv(
     verts: np.ndarray,
     faces: np.ndarray,
@@ -167,8 +180,15 @@ def _charts_to_uv(
     while stack:
         chart, thr = stack.pop()
         uv, ok = _flatten_chart(verts, faces, chart, normals, areas)
-        if ok or len(chart) == 1:
+        if ok:
             out.append((chart, uv))
+            continue
+        if len(chart) == 1:
+            # a single face can still fail the fold check (sliver/degenerate
+            # input whose projection collapses); its world edge lengths
+            # always define a valid non-degenerate right triangle in world
+            # scale (ADVICE r4)
+            out.append((chart, _single_face_uv(verts, faces, chart[0])))
             continue
         if thr >= 0.995:  # give up: one-face charts are always injective
             stack.extend(([f], 1.0) for f in chart)

@@ -23,10 +23,29 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_view_batch",
+    "shard_map_nocheck",
     "strip_cameras",
     "unstrip_images",
     "strip_cotangents",
 ]
+
+
+def shard_map_nocheck(f, mesh, in_specs, out_specs):
+    """``jax.shard_map`` with replication checking off, across the jax API
+    rename (<=0.7 ``check_rep``, >=0.8 ``check_vma``). Our shard_map bodies
+    produce replicated outputs by explicit ``psum`` of gradients followed by
+    identical updates on every device; the static replication checker cannot
+    always prove that (e.g. through ``axis_index``-dependent renders), so it
+    stays off and tests pin the parity instead."""
+    import inspect
+
+    params = inspect.signature(jax.shard_map).parameters
+    kw = {}
+    if "check_rep" in params:
+        kw["check_rep"] = False
+    elif "check_vma" in params:
+        kw["check_vma"] = False
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 
 def data_parallel_mesh(

@@ -213,11 +213,11 @@ class GaussianDreamerSystem:
         use_pallas_bwd = cfg.use_pallas_backward
         mesh = self.mesh
         if mesh is not None:
-            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from garmentdreamer_tpu.parallel.dp import (
-                strip_cameras, strip_cotangents, unstrip_images,
+                shard_map_nocheck, strip_cameras, strip_cotangents,
+                unstrip_images,
             )
 
             n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -225,36 +225,38 @@ class GaussianDreamerSystem:
             hs = height // S
 
             @jax.jit
-            def render_fwd(params, stats, cams):
-                st_r = _state(params, stats)
+            def render_fwd_mesh(params, stats, cams):
                 scams = strip_cameras(cams, S, height) if S > 1 else cams
 
-                def per_dev(cams_local):
+                # replicated state enters shard_map as ARGUMENTS (in_specs
+                # P()): jax >= 0.8 rejects closed-over device arrays whose
+                # Auto-mesh shardings leak into the Manual context
+                def per_dev(params, stats, cams_local):
                     return render_batch_packed_fwd(
-                        st_r, cams_local, bg, hs, width, classes,
-                        max_per_tile=K_window,
+                        _state(params, stats), cams_local, bg, hs, width,
+                        classes, max_per_tile=K_window,
                     )
 
-                out = shard_map(
-                    per_dev, mesh=mesh, in_specs=(P("data"),),
-                    out_specs=P("data"), check_rep=False,
-                )(scams)
+                out = shard_map_nocheck(
+                    per_dev, mesh=mesh, in_specs=(P(), P(), P("data")),
+                    out_specs=P("data"),
+                )(params, stats, scams)
                 render = unstrip_images(out["render"], S) if S > 1 else out["render"]
                 depth = unstrip_images(out["depth"], S) if S > 1 else out["depth"]
                 return render, depth, {"residuals": out["residuals"]}
 
             @partial(jax.jit, donate_argnums=(0, 1, 2))
-            def apply_grads_pallas(params, stats, opt_state, cams, d_im, d_dp,
-                                   residuals):
+            def apply_grads_mesh(params, stats, opt_state, cams, d_im, d_dp,
+                                 residuals):
                 st = _state(params, stats)
                 scams = strip_cameras(cams, S, height) if S > 1 else cams
                 ct_im = strip_cotangents(d_im, S) if S > 1 else d_im
                 ct_dp = strip_cotangents(d_dp, S) if S > 1 else d_dp
 
-                def per_dev(cams_local, res_local, ctr, ctd):
+                def per_dev(params, stats, cams_local, res_local, ctr, ctd):
                     grads, so_g, radii, nd = render_batch_packed_bwd(
-                        st, cams_local, bg, hs, width, classes, res_local,
-                        ctr, ctd,
+                        _state(params, stats), cams_local, bg, hs, width,
+                        classes, res_local, ctr, ctd,
                     )
                     # the scaling-book recipe: local grads, ICI all-reduce
                     grads = jax.lax.psum(grads, "data")
@@ -263,11 +265,12 @@ class GaussianDreamerSystem:
                     radii_max = jax.lax.pmax(jnp.max(radii, axis=0), "data")
                     return grads, vs, radii_max, nd
 
-                grads, vs_grad, radii_max, n_dropped = shard_map(
+                grads, vs_grad, radii_max, n_dropped = shard_map_nocheck(
                     per_dev, mesh=mesh,
-                    in_specs=(P("data"), P("data"), P("data"), P("data")),
-                    out_specs=(P(), P(), P(), P()), check_rep=False,
-                )(scams, residuals, ct_im, ct_dp)
+                    in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                              P("data")),
+                    out_specs=(P(), P(), P(), P()),
+                )(params, stats, scams, residuals, ct_im, ct_dp)
                 import optax
 
                 updates, opt_state = optimizer.update(grads, opt_state, st.params)
@@ -281,12 +284,12 @@ class GaussianDreamerSystem:
 
             def train_step(params, stats, opt_state, cams, elevation, azimuth,
                            rng, grad_clip_val, lambdas, g_params):
-                images, depth, extras = render_fwd(params, stats, cams)
+                images, depth, extras = render_fwd_mesh(params, stats, cams)
                 d_im, d_dp, aux = guidance_grads(
                     g_params, images, depth, elevation, azimuth, rng,
                     grad_clip_val, lambdas,
                 )
-                params, stats, opt_state, n_dropped, n_harmful = apply_grads_pallas(
+                params, stats, opt_state, n_dropped, n_harmful = apply_grads_mesh(
                     params, stats, opt_state, cams, d_im, d_dp,
                     extras["residuals"],
                 )
@@ -710,12 +713,13 @@ class GaussianDreamerSystem:
             if mesh is None:
                 r, a, nd = _render(cams)
             else:
-                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
-                r, a, nd = shard_map(
+                from garmentdreamer_tpu.parallel.dp import shard_map_nocheck
+
+                r, a, nd = shard_map_nocheck(
                     _render, mesh=mesh, in_specs=(P("data"),),
-                    out_specs=P("data"), check_rep=False,
+                    out_specs=P("data"),
                 )(cams)
             # quantize on device: the png bytes are identical (io._to_uint8
             # applies the same clip*255+truncate) and the host transfer is

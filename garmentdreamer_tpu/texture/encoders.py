@@ -123,7 +123,10 @@ class HashGridEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, bound: float = 1.0) -> jnp.ndarray:
         c = self.cfg
         T = 1 << c.log2_hashmap_size
-        # STORED as (L, T*C), reshaped to (L, T, C) inside the program: a
+        # STORED as (L, T*C), reshaped to (L, T, C) inside the program.
+        # FORMAT BREAK (round 4): params/optimizer state serialized before
+        # this change used (L, T, C) and will fail to load with a shape
+        # mismatch; no such state ships in-repo, so no migration shim. A
         # stored trailing dim of C=2 pads 64x under the TPU's (8,128) tile
         # whenever a boundary copy pins the default layout -- inside a
         # lax.scan carry that turned each Adam moment into a 4 GB buffer

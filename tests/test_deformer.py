@@ -244,3 +244,124 @@ class TestDeferredDropCanary:
         # already warned: no second sync, no second message
         assert _warn_dropped([(10, jnp.int32(9))], "stage-2", True) is True
         assert capsys.readouterr().out == ""
+
+
+class TestSubPixelVisibility:
+    """ADVICE r4 (medium): 1x face-id visibility misses sub-pixel faces that
+    the reference's supersampled pass catches; the driver compensates by
+    exempting the coverage-independent regularizer gradients from the mask."""
+
+    def _tiny_tri_scene(self, H=16, W=16):
+        """One big quad + one sub-pixel triangle positioned between 1x pixel
+        centers (so 1x rasterization misses it, 2x catches it)."""
+        import jax.numpy as jnp
+
+        def ndc(px, py, z=0.0):
+            return (px / W * 2 - 1, py / H * 2 - 1, z)
+
+        verts = np.array(
+            [
+                # big quad covering pixel block [8..14)^2
+                ndc(8, 8), ndc(14, 8), ndc(14, 14), ndc(8, 14),
+                # sub-pixel triangle around the pixel corner (4,4)
+                ndc(3.7, 3.7, -0.5), ndc(4.3, 3.7, -0.5), ndc(3.7, 4.3, -0.5),
+            ],
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6]], np.int32)
+        return jnp.asarray(verts), jnp.asarray(faces)
+
+    def test_1x_misses_2x_catches(self):
+        import jax.numpy as jnp
+        from garmentdreamer_tpu.rast import (
+            rasterize, transform_clip, vertex_visibility,
+            visibility_from_face_ids,
+        )
+
+        H = W = 16
+        verts, faces = self._tiny_tri_scene(H, W)
+        mvp = jnp.eye(4, dtype=jnp.float32)
+        clip = transform_clip(verts, mvp)
+        rast = rasterize(clip, faces, H, W, 16, 64)
+        vis1 = np.asarray(visibility_from_face_ids(rast.face_id, faces, 7))
+        vis2 = np.asarray(
+            vertex_visibility(verts, faces, mvp[None], H, W, 7, upsample=2,
+                              max_tiles_per_tri=16, max_per_tile=64)
+        )
+        assert vis1[:4].all(), "big quad visible at 1x"
+        assert not vis1[4:].any(), "sub-pixel face missed at 1x (premise)"
+        assert vis2[4:].all(), "2x supersampled pass catches it"
+
+
+@pytest.mark.slow
+class TestRegularizerExemption:
+    def test_invisible_vertices_still_smooth(self, tmp_path):
+        """With visibility_from_gbuffer=True and a single front view, back
+        vertices are invisible every iteration; the regularizer exemption
+        must still move them (previously frozen at their stage-1 offsets)."""
+        from PIL import Image
+        from garmentdreamer_tpu.core.cameras import camera_json_entry
+        from garmentdreamer_tpu.core import io as gio
+        from garmentdreamer_tpu.deformer import DeformerConfig, deformation
+
+        # bumpy tube template: nonzero laplacian everywhere
+        t = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+        zz = np.linspace(-0.8, 0.8, 6)
+        rs = np.random.RandomState(1)
+        verts, faces = [], []
+        for z in zz:
+            for a in t:
+                r = 0.8 + 0.1 * rs.uniform(-1, 1)
+                verts.append((r * np.cos(a), r * np.sin(a), z))
+        n = len(t)
+        for i in range(len(zz) - 1):
+            for j in range(n):
+                a_, b_ = i * n + j, i * n + (j + 1) % n
+                c_, d_ = (i + 1) * n + j, (i + 1) * n + (j + 1) % n
+                faces.append((a_, b_, d_))
+                faces.append((a_, d_, c_))
+        verts = np.array(verts, np.float32)
+        faces_np = np.array(faces, np.int32)
+        tpl = tmp_path / "template.obj"
+        gio.save_obj(str(tpl), gio.ObjMesh(vertices=verts, faces=faces_np))
+
+        H = W = 32
+        (tmp_path / "gs_rendered_rgba").mkdir()
+        (tmp_path / "estimated_normals").mkdir()
+        c2w = _c2w(0.0, 0.0, 3.0)
+        with open(tmp_path / "cameras.json", "w") as f:
+            json.dump([camera_json_entry(0, c2w, 70.0, H, W)], f)
+        rgba = np.zeros((H, W, 4), np.uint8)
+        rgba[4:28, 4:28] = [128, 100, 90, 255]
+        Image.fromarray(rgba, "RGBA").save(tmp_path / "gs_rendered_rgba" / "0.png")
+        nrm = np.full((H, W, 4), 128, np.uint8)
+        nrm[..., 3] = rgba[..., 3]
+        Image.fromarray(nrm, "RGBA").save(tmp_path / "estimated_normals" / "0.png")
+
+        bound = 1.75
+        cfg = DeformerConfig(
+            iterations_first=0, iterations_second=2,
+            upsample_iterations=(), picked_views_first=(0, 1),
+            picked_views_second=(0,), shading_samples=256,
+            save_frequency=0, max_per_tile=64, max_tiles_per_tri=16,
+            visibility_from_gbuffer=True,
+        )
+        out = deformation(str(tmp_path), str(tpl), bound=bound, cfg=cfg)
+        got = gio.load_obj(out).vertices
+
+        # analytic zero-offset baseline: permute axes, x bound, rotate -90 x
+        base = np.empty_like(verts)
+        base[:, 0] = verts[:, 2]
+        base[:, 1] = verts[:, 0]
+        base[:, 2] = verts[:, 1]
+        base *= bound
+        ang = np.radians(-90.0)
+        Rx = np.array(
+            [[1, 0, 0], [0, np.cos(ang), -np.sin(ang)],
+             [0, np.sin(ang), np.cos(ang)]], np.float32)
+        base = base @ Rx.T
+        moved = np.linalg.norm(got - base, axis=1) > 1e-7
+        assert moved.all(), (
+            f"{(~moved).sum()} vertices frozen -- regularizer exemption "
+            "not applied to invisible vertices"
+        )

@@ -87,3 +87,39 @@ class TestUnwrap:
         assert int((cnt > 1).sum()) == 0
         # measured coverage agrees with the analytic utilization
         assert abs(cnt.astype(bool).mean() - stats["utilization"]) < 0.03
+
+
+class TestDegenerateSingleFace:
+    def test_sliver_face_gets_valid_uv(self):
+        """A near-collinear sliver whose planar projection fails the fold
+        check must still yield a positive-area UV triangle (ADVICE r4:
+        previously the degenerate projection was kept verbatim)."""
+        from garmentdreamer_tpu.netf.unwrap import unwrap_uv
+
+        # one normal face + one exactly-degenerate face (collinear vertices:
+        # zero world area, so the fold check's signed > 0.05*world fails)
+        verts = np.array(
+            [
+                [0, 0, 0], [1, 0, 0], [0, 1, 0],   # face 0: fine
+                [2, 0, 0], [3, 0, 0], [2.5, 0, 0],  # face 1: collinear
+            ],
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        vt, ft, _ = unwrap_uv(verts, faces)
+        uv = vt[ft]  # (F,3,2)
+        e1 = uv[:, 1] - uv[:, 0]
+        e2 = uv[:, 2] - uv[:, 0]
+        area2 = np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+        assert (area2 > 0).all(), area2
+
+    def test_single_face_uv_right_triangle(self):
+        from garmentdreamer_tpu.netf.unwrap import _single_face_uv
+
+        verts = np.array([[0, 0, 0], [2, 0, 0], [0, 3, 0]], np.float64)
+        faces = np.array([[0, 1, 2]], np.int32)
+        uv = _single_face_uv(verts, faces, 0)
+        assert uv.shape == (1, 3, 2)
+        e1, e2 = uv[0, 1] - uv[0, 0], uv[0, 2] - uv[0, 0]
+        area = 0.5 * abs(e1[0] * e2[1] - e1[1] * e2[0])
+        assert area == pytest.approx(3.0)  # legs are the two longest edges
