@@ -19,8 +19,18 @@ from garmentdreamer_tpu.guidance.prompt import (
 )
 from garmentdreamer_tpu.guidance.sds import SDSConfig, SDSGuidance
 from garmentdreamer_tpu.guidance.if2 import IF2Config, IF2Guidance, if2_unet_config
+from garmentdreamer_tpu.guidance.t5 import (
+    T5Config,
+    T5EncoderModel,
+    convert_t5_encoder,
+    make_t5_encode_fn,
+)
 
 __all__ = [
+    "T5Config",
+    "T5EncoderModel",
+    "convert_t5_encoder",
+    "make_t5_encode_fn",
     "IF2Config",
     "IF2Guidance",
     "if2_unet_config",

@@ -151,8 +151,10 @@ def reconstruction(
     netf_cfg: Optional[Config] = None,
     scale: str = "sd21",
     weights_dir: Optional[str] = None,
+    mesh_devices: int = 0,
 ) -> str:
-    """Stage 4. Returns the final textured mesh path."""
+    """Stage 4. Returns the final textured mesh path. ``mesh_devices``
+    pixel-shards each texture-fit step over that many chips."""
     from garmentdreamer_tpu.netf import NeTFConfig, NeTFTrainer
     from garmentdreamer_tpu.pipeline.models import build_guidance_stack
 
@@ -185,6 +187,7 @@ def reconstruction(
         guidance=stack.vsd,
         text_embeddings=stack.vsd_text_embeddings,
         q_params=stack.q_params,
+        mesh_devices=mesh_devices,
     )
     if cfg.fit_tex:
         trainer.fit_texture(save_dir, save=True)
@@ -212,26 +215,34 @@ def reconstruction(
                 IF2Config(resolution=R, extra_emb_dim=ucfg.extra_emb_dim),
                 lambda p, x, t, c, e: unet.apply(p, x, t, c, e), ifp,
             )
-            D = ucfg.cross_attention_dim
-            pe = stack.prompt_embeddings
-            if pe.text_vd.shape[-1] == D:
-                # DISTINCT view-direction embeddings: the reference embeds
-                # separate front/side/back prompts for IF2
-                # (netf/guidance/if2_utils.py:140-145); text_vd rows are
-                # [side, front, back, overhead] -> reorder to front/side/back
-                text3 = pe.text_vd[jnp.asarray([1, 0, 2])]
-                uncond = pe.uncond_vd[1]
-            else:
-                import warnings
+            # T5 text conditioning (the reference's IF-II conditions on the
+            # DeepFloyd T5 encoder, if2_utils.py:47-81: one embedding per
+            # direction prompt '{p}, {front|side|back} view' + the negative
+            # prompt as uncond). guidance/t5.py runs the REAL tower --
+            # converted weights from weights_dir/t5 when present, otherwise
+            # random-init at dims matching the UNet (same policy as the
+            # SD-2.1 random-init fallback).
+            from garmentdreamer_tpu.guidance.t5 import T5Config, make_t5_encode_fn
 
-                warnings.warn(
-                    "IF2 guidance: prompt embedding dim "
-                    f"{pe.text_vd.shape[-1]} != UNet cross_attention_dim {D}; "
-                    "substituting constant placeholder embeddings -- IF2 text "
-                    "conditioning is INACTIVE for this run"
+            D = ucfg.cross_attention_dim
+            fb = T5Config.tiny(vocab_size=32128) if tiny else T5Config.base()
+            encode, t5_cfg = make_t5_encode_fn(
+                weights_dir=weights_dir, fallback_cfg=fb
+            )
+            if t5_cfg.d_model != D:
+                raise ValueError(
+                    f"T5 encoder width {t5_cfg.d_model} != IF2 UNet "
+                    f"cross_attention_dim {D}: this IF checkpoint needs the "
+                    "UNet-side encoder_hid_proj, which the converted UNet "
+                    "config must include (guidance/if2.py if2_unet_config)"
                 )
-                text3 = jnp.ones((3, 77, D)) * 0.01
-                uncond = jnp.zeros((77, D))
+            neg = dict(netf_cfg).get("negative_prompt") or ""
+            emb = encode(
+                [f"{prompt}, {d} view" for d in ("front", "side", "back")]
+                + [neg]
+            )
+            text3 = jnp.asarray(emb[:3])
+            uncond = jnp.asarray(emb[3])
             trainer.train_if2(g, text3, uncond)
         else:
             trainer.train_vsd()
@@ -303,7 +314,8 @@ def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
         if "picked_views_first" in over:
             over["picked_views_first"] = tuple(over["picked_views_first"])
         final_mesh = deformation(
-            save_dir, args.template_path, bound, DeformerConfig(**over)
+            save_dir, args.template_path, bound, DeformerConfig(**over),
+            mesh_devices=args.mesh,
         )
     timings["stage3_deformer"] = time.time() - t0
 
@@ -311,6 +323,7 @@ def run_pipeline(args: argparse.Namespace) -> Dict[str, Any]:
     textured = reconstruction(
         save_dir, final_mesh, args.prompt, netf_cfg,
         scale=args.model_scale, weights_dir=args.weights_dir,
+        mesh_devices=args.mesh,
     )
     timings["stage4_netf"] = time.time() - t0
     timings["total"] = time.time() - t_start
@@ -340,8 +353,9 @@ def main(argv=None):
     p.add_argument("--model_scale", choices=["sd21", "tiny"], default="sd21")
     p.add_argument(
         "--mesh", type=int, default=0, metavar="N",
-        help="data-parallel stage 1 over N chips (0 = single chip); "
-        "devices>views covered by horizontal strip sharding",
+        help="shard every stage over N chips (0 = single chip): stage 1 "
+        "view-DP (+ strip sharding when devices>views), stage 2 view-DP, "
+        "stage 3 per-step render strips, stage 4 per-step pixel shards",
     )
     p.add_argument("--weights_dir", type=str, default=None, help="converted SD weights")
     p.add_argument("--metric3d_checkpoint", type=str, default=None)
