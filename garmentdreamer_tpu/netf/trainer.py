@@ -73,6 +73,10 @@ class NeTFConfig:
     # budget-vs-PSNR table in BENCH_E2E.md for the quality curve behind the
     # default).
     fit_pixel_budget: int = 1 << 17
+    # hash-grid table rows (log2) for the texture field; 19 = the reference's
+    # tinycudann default (texture_encoder.py:17). Exposed so the fit-quality
+    # oracle can probe whether the fit PSNR ceiling is capacity-bound.
+    hashgrid_log2_size: int = 19
     # fit iterations fused into ONE on-device lax.scan dispatch: view index
     # and rng are pure functions of the step, so chunks of the loop run
     # without per-iteration host dispatch (the axon tunnel costs ms per
@@ -149,7 +153,11 @@ class NeTFTrainer:
 
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, sub = jax.random.split(self.rng)
-        self.field = TextureField(sub)
+        from garmentdreamer_tpu.texture.encoders import HashGridConfig
+
+        self.field = TextureField(
+            sub, HashGridConfig(log2_hashmap_size=cfg.hashgrid_log2_size)
+        )
         self.tex_params = self.field.params
 
         self.tex_opt = optax.multi_transform(

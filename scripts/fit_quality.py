@@ -57,7 +57,12 @@ class GTField:
         return 0.5 + 0.45 * f
 
 
-def fit_grid(H=1024, n_views=8, budgets=(16, 17), iter_counts=(300, 600)):
+def fit_grid(H=1024, n_views=8, budgets=(16, 17), iter_counts=(300, 600),
+             cells=None):
+    """``cells`` (list of {lb, iters, cap}) overrides the budgets x iters
+    product: lb = fit_pixel_budget log2 (0 = FULL image, the non-sampled
+    oracle), cap = hashgrid_log2_size. Used by --oracle to locate the fit
+    PSNR ceiling (VERDICT r4 next-8)."""
     from garmentdreamer_tpu.core import cameras as ccam, io as gio
     from garmentdreamer_tpu.data.cameras import RandomCameraConfig, test_ring_cameras
     from garmentdreamer_tpu.netf.renderer import render_textured
@@ -131,28 +136,52 @@ def fit_grid(H=1024, n_views=8, budgets=(16, 17), iter_counts=(300, 600)):
         mse = errs / max(cnt, 1)
         return 10.0 * np.log10(1.0 / max(mse, 1e-12))
 
-    for lb in budgets:
-        for iters in iter_counts:
-            cfg = NeTFConfig(
-                fit_tex_iters=iters, iters=0, fit_pixel_budget=1 << lb,
-                reconstruction_picked_views=tuple(range(n_views)),
-            )
-            tr = NeTFTrainer(cfg, mesh_path, tmp, os.path.join(tmp, "out"))
-            t0 = time.perf_counter()
-            tr.fit_texture(tmp, save=False)
-            dt = time.perf_counter() - t0
-            p = psnr(tr.field, tr.tex_params)
-            emit({
-                "name": "fit_quality", "budget_log2": lb, "iters": iters,
-                "psnr_db": round(p, 2), "fit_s": round(dt, 1),
-                "ms_per_iter": round(dt / iters * 1e3, 1),
-            })
+    if cells is None:
+        cells = [{"lb": lb, "iters": it, "cap": 19}
+                 for lb in budgets for it in iter_counts]
+    for cell in cells:
+        lb, iters, cap = cell["lb"], cell["iters"], cell.get("cap", 19)
+        cfg = NeTFConfig(
+            fit_tex_iters=iters, iters=0, fit_resolution=H,
+            fit_pixel_budget=(1 << lb) if lb else 0,
+            hashgrid_log2_size=cap,
+            reconstruction_picked_views=tuple(range(n_views)),
+        )
+        tr = NeTFTrainer(cfg, mesh_path, tmp, os.path.join(tmp, "out"))
+        t0 = time.perf_counter()
+        tr.fit_texture(tmp, save=False)
+        dt = time.perf_counter() - t0
+        p = psnr(tr.field, tr.tex_params)
+        emit({
+            "name": "fit_quality", "H": H,
+            "budget_log2": lb or f"full({H}^2)", "iters": iters,
+            "cap_log2": cap, "psnr_db": round(p, 2), "fit_s": round(dt, 1),
+            "ms_per_iter": round(dt / iters * 1e3, 1),
+        })
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def deformer_grid(H=1024, schedules=((1500, 500), (3000, 1000))):
+def deformer_grid(
+    H=1024,
+    schedules=((750, 250), (1500, 500), (3000, 1000)),
+    lrs=(1e-3,),
+    n_train=8,
+    n_holdout=4,
+):
+    """Chamfer + held-out mask-IoU vs iteration budget (VERDICT r4 next-4).
+
+    The GT surface lives in the DRIVER's world frame (template verts through
+    the same ``_adjust_and_scale`` permute+bound the driver applies,
+    deformation.py:65-76 adjust_mesh), plus a smooth radial bump field --
+    a garment-ish deformation the losses can represent. Targets are GT
+    G-buffer renders at the train views; the final exported mesh (rotated
+    -90deg about x, decimated, io.py:25-36) is un-rotated back into world
+    frame before scoring. IoU is scored at ``n_holdout`` views the driver
+    never saw."""
     from garmentdreamer_tpu.core import io as gio
-    from garmentdreamer_tpu.deformer.driver import DeformerConfig, deformation
+    from garmentdreamer_tpu.deformer.driver import (
+        DeformerConfig, _adjust_and_scale, deformation,
+    )
     from bench_stages import _synth_views  # noqa: E402
 
     from garmentdreamer_tpu.meshops import LoadedView
@@ -162,69 +191,98 @@ def deformer_grid(H=1024, schedules=((1500, 500), (3000, 1000))):
     tmp = tempfile.mkdtemp(prefix="deform_quality_")
     tpl = os.path.join(tmp, "tpl.obj")
     _sphere_obj(tpl, 120, 84)
+    bound = 1.0
 
-    # ground-truth surface: the template squashed + bulged (a garment-ish
-    # deformation well inside what the losses can represent)
     obj = gio.load_obj(tpl)
-    v_gt = np.asarray(obj.vertices, np.float32).copy()
-    v_gt[:, 1] *= 0.8
-    v_gt[:, [0, 2]] *= (1.0 + 0.25 * np.sin(3.0 * v_gt[:, 1:2] * np.pi)) \
-        .repeat(2, axis=1)
+    v_world = _adjust_and_scale(np.asarray(obj.vertices, np.float32), bound)
     faces = np.asarray(obj.faces, np.int32)
+    # GT deformation in world frame: squash + low-frequency radial bulge
+    v_gt = v_world.copy()
+    v_gt[:, 1] *= 0.8
+    v_gt[:, [0, 2]] *= 1.0 + 0.25 * np.sin(3.0 * v_gt[:, 1:2] * np.pi)
 
-    # render GT masks+normals as the deformation targets through OUR
-    # G-buffer renderer at the views the driver will use
-    base_views = _synth_views(H, H, 8)
-    gt_views = []
+    n_views = n_train + n_holdout
+    base_views = _synth_views(H, H, n_views)
     vn = vn_fn(jnp.asarray(v_gt), jnp.asarray(faces), v_gt.shape[0])
 
     @jax.jit
-    def gbuf(mvp):
+    def gbuf_gt(mvp):
         return render_gbuffer(
             jnp.asarray(v_gt), jnp.asarray(faces), vn, mvp, H, H, 32, 512
         )
 
+    gt_views, gt_masks, mvps_all = [], [], []
     for v in base_views:
         mvp = jnp.asarray(gl_mvp(v.K, v.R, v.t, H, H, 0.1, 100.0))
-        g = gbuf(mvp)
+        mvps_all.append(mvp)
+        g = gbuf_gt(mvp)
         mask = np.asarray(g["mask"])
         nrm = np.asarray(g["normal"])
+        gt_masks.append(mask[..., 0] > 0.5)
         gt_views.append(LoadedView(
             K=v.K, R=v.R, t=v.t,
             normal=(nrm + 1.0) / 2.0, mask=mask,
             rgb=np.broadcast_to(((nrm + 1.0) / 2.0), nrm.shape).copy(),
         ))
+    train_views = gt_views[:n_train]
 
-    def chamfer(path):
+    def score(path):
         m = gio.load_obj(path)
-        a = np.asarray(m.vertices, np.float32)
-        b = v_gt
-        # subsample for the host kd-tree
+        # final_mesh.obj is world-frame rotated -90deg about x: undo it
+        ang = np.radians(90.0)
+        rx = np.array([
+            [1, 0, 0],
+            [0, np.cos(ang), -np.sin(ang)],
+            [0, np.sin(ang), np.cos(ang)],
+        ], np.float32)
+        a_v = np.asarray(m.vertices, np.float32) @ rx.T
+        a_f = np.asarray(m.faces, np.int32)
+
         from scipy.spatial import cKDTree
 
         rs = np.random.RandomState(0)
-        a = a[rs.choice(len(a), min(len(a), 20000), replace=False)]
-        b2 = b[rs.choice(len(b), min(len(b), 20000), replace=False)]
-        d1 = cKDTree(b2).query(a)[0].mean()
-        d2 = cKDTree(a).query(b2)[0].mean()
-        return float(d1 + d2)
+        a = a_v[rs.choice(len(a_v), min(len(a_v), 20000), replace=False)]
+        b2 = v_gt[rs.choice(len(v_gt), min(len(v_gt), 20000), replace=False)]
+        cham = float(cKDTree(b2).query(a)[0].mean()
+                     + cKDTree(a).query(b2)[0].mean())
 
-    for it1, it2 in schedules:
-        cfg = DeformerConfig(
-            iterations_first=it1, iterations_second=it2,
-            upsample_iterations=(), save_frequency=0,
-            picked_views_first=(0, len(gt_views)),
-            picked_views_second=tuple(range(len(gt_views))),
-        )
-        t0 = time.perf_counter()
-        out = deformation(tmp, tpl, 1.0, cfg,
-                          output_dir=os.path.join(tmp, f"out_{it1}_{it2}"),
-                          views=gt_views)
-        dt = time.perf_counter() - t0
-        emit({
-            "name": "deformer_quality", "iters": [it1, it2],
-            "chamfer": round(chamfer(out), 5), "wall_s": round(dt, 1),
-        })
+        a_vn = vn_fn(jnp.asarray(a_v), jnp.asarray(a_f), a_v.shape[0])
+
+        @jax.jit
+        def gbuf_fit(mvp):
+            return render_gbuffer(
+                jnp.asarray(a_v), jnp.asarray(a_f), a_vn, mvp, H, H, 32, 512
+            )
+
+        ious = []
+        for i in range(n_train, n_views):  # held-out views only
+            mk = np.asarray(gbuf_fit(mvps_all[i])["mask"])[..., 0] > 0.5
+            gt = gt_masks[i]
+            ious.append((mk & gt).sum() / max((mk | gt).sum(), 1))
+        return cham, float(np.mean(ious))
+
+    for lr in lrs:
+        for it1, it2 in schedules:
+            cfg = DeformerConfig(
+                iterations_first=it1, iterations_second=it2,
+                upsample_iterations=(), save_frequency=0,
+                lr_vertices=lr,
+                picked_views_first=(0, n_train),
+                picked_views_second=tuple(range(n_train)),
+            )
+            t0 = time.perf_counter()
+            out = deformation(
+                tmp, tpl, bound, cfg,
+                output_dir=os.path.join(tmp, f"out_{it1}_{it2}_{lr}"),
+                views=train_views,
+            )
+            dt = time.perf_counter() - t0
+            cham, iou = score(out)
+            emit({
+                "name": "deformer_quality", "iters": [it1, it2],
+                "lr_vertices": lr, "chamfer": round(cham, 5),
+                "holdout_mask_iou": round(iou, 4), "wall_s": round(dt, 1),
+            })
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -237,17 +295,42 @@ def main():
                     help="fit pixel budgets (log2), comma list")
     ap.add_argument("--fit-iters", default="300,600",
                     help="fit iteration counts, comma list")
-    ap.add_argument("--schedules", default="1500:500,3000:1000",
+    ap.add_argument("--schedules", default="750:250,1500:500,3000:1000",
                     help="deformer it1:it2 schedules, comma list")
+    ap.add_argument("--lrs", default="0.001",
+                    help="deformer lr_vertices cells, comma list")
+    ap.add_argument(
+        "--oracle", action="store_true",
+        help="fit-PSNR ceiling probes instead of the default grid "
+        "(VERDICT r4 next-8): capacity x iteration probes at 1024^2, plus "
+        "the FULL-pixel non-sampled oracle at 512^2 (full-pixel at 1024^2 "
+        "is the budget that crashed the chip)",
+    )
     a = ap.parse_args()
     skip = set(filter(None, a.skip.split(",")))
+    if a.oracle:
+        fit_grid(H=1024, cells=[
+            {"lb": 17, "iters": 600, "cap": 19},   # production anchor
+            {"lb": 17, "iters": 600, "cap": 20},   # capacity probe
+            {"lb": 17, "iters": 1800, "cap": 19},  # iteration probe
+        ])
+        fit_grid(H=512, cells=[
+            {"lb": 17, "iters": 600, "cap": 19},   # sampled ref @512
+            {"lb": 0, "iters": 600, "cap": 19},    # full-pixel oracle
+            {"lb": 0, "iters": 600, "cap": 20},    # full-pixel + 2x capacity
+        ])
+        return
     if "fit" not in skip:
         fit_grid(budgets=tuple(int(x) for x in a.budgets.split(",")),
                  iter_counts=tuple(int(x) for x in a.fit_iters.split(",")))
     if "deformer" not in skip:
-        deformer_grid(schedules=tuple(
-            tuple(int(x) for x in s.split(":")) for s in a.schedules.split(",")
-        ))
+        deformer_grid(
+            schedules=tuple(
+                tuple(int(x) for x in s.split(":"))
+                for s in a.schedules.split(",")
+            ),
+            lrs=tuple(float(x) for x in a.lrs.split(",")),
+        )
 
 
 if __name__ == "__main__":
