@@ -241,8 +241,16 @@ def deformation(
     # big per-view stacks enter the jitted steps as ARGUMENTS -- closed-over
     # device arrays are baked into the HLO as constants and the axon remote
     # compile service rejects multi-GB programs; under a strip mesh each
-    # device holds only its own rows of every view target
-    masks_d = jnp.asarray(targets["mask"])  # (V_views, H, W, 1)
+    # device holds only its own rows of every view target.
+    # Device-resident targets are stored UINT8 and cast to f32 per-view
+    # INSIDE the step (one view = ~4 MB, free): the f32 stacks at 407 views
+    # @1024^2 were 1.7 GB of HBM and the round-5 production run crashed the
+    # 16 GB TPU worker in this stage; targets come from 8-bit PNGs, so the
+    # round-trip through uint8 is exact (the reference keeps f32 stacks on
+    # its GPU, deformation.py:96 -- a 24 GB-card luxury).
+    masks_d = jnp.asarray(
+        np.round(np.asarray(targets["mask"]) * 255.0).astype(np.uint8)
+    )  # (V_views, H, W, 1) uint8
     if mesh is not None:
         masks_d = jax.device_put(masks_d, _row_sharded)
 
@@ -252,7 +260,7 @@ def deformation(
         def body(carry, vi):
             off, ostate = carry
             mvp = mvps_d[vi]
-            tgt_mask = masks[vi]
+            tgt_mask = masks[vi].astype(jnp.float32) / 255.0
 
             def loss_fn(off_):
                 verts = v0 + off_
@@ -316,9 +324,9 @@ def deformation(
             mvp = mvps_d[vi]
             cam_R = Rs_d[vi]
             cam_c = centers_d[vi]
-            tgt_mask = tgt["mask"][vi]
-            tgt_normal = tgt["normal"][pi]
-            tgt_rgb = tgt["rgb"][pi]
+            tgt_mask = tgt["mask"][vi].astype(jnp.float32) / 255.0
+            tgt_normal = tgt["normal"][pi].astype(jnp.float32) / 255.0
+            tgt_rgb = tgt["rgb"][pi].astype(jnp.float32) / 255.0
             g_rf = jax.tree_util.tree_map(lambda a: a[pi], grf)
 
             def loss_fn(off, sp):
@@ -453,7 +461,7 @@ def deformation(
             def body(carry, vi):
                 off, ostate = carry
                 mvp = mvps_d[vi]
-                tgt_mask = masks[vi]  # (hs, W, 1) strip rows
+                tgt_mask = masks[vi].astype(jnp.float32) / 255.0  # strip rows
 
                 def loss_fn(off_):
                     verts = v0 + off_
@@ -533,9 +541,9 @@ def deformation(
                     mvp = mvps_d[vi]
                     cam_R = Rs_d[vi]
                     cam_c = centers_d[vi]
-                    t_mask = t_mask_all[vi]
-                    t_normal = t_normal_all[pi]
-                    t_rgb = t_rgb_all[pi]
+                    t_mask = t_mask_all[vi].astype(jnp.float32) / 255.0
+                    t_normal = t_normal_all[pi].astype(jnp.float32) / 255.0
+                    t_rgb = t_rgb_all[pi].astype(jnp.float32) / 255.0
                     g_rf = {"mask": rf_mask[pi], "position": rf_pos[pi],
                             "normal": rf_nrm[pi]}
 
@@ -694,8 +702,12 @@ def deformation(
     grf_stack = compute_rf_stack(rf_verts, view_pool2)
     targets2_d = {
         "mask": masks_d,
-        "normal": jnp.asarray(targets["normal"][list(view_pool2)]),
-        "rgb": jnp.asarray(targets["rgb"][list(view_pool2)]),
+        "normal": jnp.asarray(np.round(
+            np.asarray(targets["normal"][list(view_pool2)]) * 255.0
+        ).astype(np.uint8)),
+        "rgb": jnp.asarray(np.round(
+            np.asarray(targets["rgb"][list(view_pool2)]) * 255.0
+        ).astype(np.uint8)),
     }
     if mesh is not None:
         targets2_d = {

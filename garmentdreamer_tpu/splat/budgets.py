@@ -32,18 +32,25 @@ def classes_for(height: int, width: int, capacity: int) -> Classes:
       ``max(4096, capacity // 64)`` larger splats (the measured-fastest
       split; the budget floor is the zero-drop bench configuration).
     * ``> 512^2``: splat pixel radii scale with resolution, so tile coverage
-      grows ~quadratically; a third huge-splat class keeps the first two
-      lean. Anchored at the 1024^2 ring configuration that ran the densified
-      production cloud with zero drops.
+      grows ~quadratically. The round-4 three-class ladder was anchored at
+      the 1024^2 RING over the final densified cloud and dropped 0.13-5.2M
+      instances/step on the round-5 production TRAINING run (mid-densify
+      clouds carry far bigger splats). This ladder is sized from that run's
+      measured worst per-camera coverage histogram (scripts/coverage_hist.py
+      on the step-799/1199 checkpoints: (4,16] 48k, (16,64] 10k, (64,256]
+      2.4k, (256,1024] 281, (1024,4096] 19 splats) with >=3x margin per bin.
     """
     res = max(height, width)
     cap = int(capacity)
     if res <= 512:
         return ((6, None), (64, max(4096, cap // 64)))
     return (
-        (8, None),
-        (32, max(32768, cap // 16)),
-        (256, max(2048, cap // 256)),
+        (4, None),
+        (16, max(4096, cap // 4)),
+        (64, max(1024, cap // 16)),
+        (256, max(256, cap // 64)),
+        (1024, max(64, cap // 256)),
+        (4096, max(32, cap // 2048)),
     )
 
 
