@@ -99,9 +99,26 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_f: int = 32,
     return verts2[used].astype(np.float32), remap[faces2].astype(np.int32)
 
 
+def _covered_first_order(flat_cov: jnp.ndarray, hw: int) -> jnp.ndarray:
+    """Permutation of [0, hw) with covered pixels first.
+
+    Within each group the order follows a fixed multiplicative-hash
+    permutation of the pixel index (when hw is a power of two), so if a
+    ``cover_cap`` ever overflows, the dropped covered pixels are scattered
+    uniformly across the image instead of truncating whole bottom scanlines.
+    """
+    i = jnp.arange(hw, dtype=jnp.uint32)
+    if hw & (hw - 1) == 0:
+        perm = (i * jnp.uint32(2654435761)) & jnp.uint32(hw - 1)
+    else:
+        perm = i
+    key = jnp.where(flat_cov, perm, perm + jnp.uint32(hw))
+    return jnp.argsort(key)
+
+
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "max_tiles_per_tri", "max_per_tile", "bg_color", "texture_field"),
+    static_argnames=("height", "width", "max_tiles_per_tri", "max_per_tile", "bg_color", "texture_field", "cover_cap", "shard_axis", "n_shards"),
 )
 def render_textured(
     tex_params,
@@ -115,8 +132,32 @@ def render_textured(
     bg_color: float = 1.0,
     max_tiles_per_tri: int = 32,
     max_per_tile: int = 512,
+    cover_cap: int = 0,
+    shard_axis: Optional[str] = None,
+    n_shards: int = 1,
 ) -> Dict[str, jnp.ndarray]:
-    """One view -> image/alpha/depth/normal/cosinesview (mesh_renderer.py:338-428)."""
+    """One view -> image/alpha/depth/normal/cosinesview (mesh_renderer.py:338-428).
+
+    ``cover_cap`` > 0 compacts the texture-field query to (at most) that many
+    COVERED pixels instead of the full H*W grid: the hash-grid gather and its
+    scatter-add VJP cost ~2.6/~20 ns PER TABLE ROW on v5e and every pixel
+    costs levels*corners = 128 rows, so querying only the ~35-60% of pixels
+    the garment covers is a proportional cut of the dominant VSD-step cost
+    (scripts/vsd_breakdown.py: 947 of 1401 ms was this render's fwd+bwd).
+    Exact (bit-identical image) whenever the view's true coverage fits the
+    cap; overflowing pixels render as background and are counted in
+    ``n_cov_dropped`` so callers can canary. The full-grid path (cover_cap=0)
+    stays untouched for callers with unfrozen geometry.
+
+    ``shard_axis``/``n_shards`` (inside a shard_map over that named axis)
+    additionally split the compacted query across devices: each device
+    queries its contiguous cover_cap/n_shards slice and the albedo image is
+    reassembled with one psum (~3 MB at 512^2 -- sub-ms over ICI). The
+    rasterizer and everything downstream run replicated, so the per-device
+    hash-grid row count (the dominant cost) drops by the shard count while
+    the program stays numerically identical to the single-device render.
+    Callers must psum the resulting texture-parameter gradients.
+    """
     vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], axis=1)
     v_cam = vh @ jnp.linalg.inv(pose).T
     clip = v_cam @ proj.T
@@ -131,8 +172,38 @@ def render_textured(
     depth = interpolate(-v_cam[:, 2:3], faces, fid, bary)
     xyz = interpolate(verts, faces, fid, bary)  # (H,W,3)
 
-    albedo = texture_field.query(tex_params, xyz.reshape(-1, 3)).reshape(height, width, 3)
-    albedo = jnp.where((fid >= 0)[..., None], albedo, 0.0)
+    hw = height * width
+    covered = (fid >= 0).reshape(-1)
+    sharded = shard_axis is not None and n_shards > 1
+    if cover_cap and (cover_cap < hw or sharded):
+        order = _covered_first_order(covered, hw)
+        cov_idx = order[:cover_cap]  # distinct by construction
+        if sharded:
+            if cover_cap % n_shards:
+                raise ValueError(
+                    f"cover_cap {cover_cap} not divisible by {n_shards} shards"
+                )
+            cs = cover_cap // n_shards
+            k = jax.lax.axis_index(shard_axis)
+            cov_idx = jax.lax.dynamic_slice_in_dim(cov_idx, k * cs, cs)
+        valid = covered[cov_idx]
+        xyz_cov = xyz.reshape(-1, 3)[cov_idx]
+        albedo_cov = texture_field.query(tex_params, xyz_cov)
+        albedo_cov = jnp.where(valid[:, None], albedo_cov, 0.0)
+        albedo = (
+            jnp.zeros((hw, 3), albedo_cov.dtype)
+            .at[cov_idx].set(albedo_cov, unique_indices=True)
+            .reshape(height, width, 3)
+        )
+        if sharded:
+            albedo = jax.lax.psum(albedo, shard_axis)
+        n_cov = jnp.sum(covered)
+        n_cov_dropped = jnp.maximum(n_cov - cover_cap, 0)
+    else:
+        albedo = texture_field.query(tex_params, xyz.reshape(-1, 3)).reshape(height, width, 3)
+        albedo = jnp.where((fid >= 0)[..., None], albedo, 0.0)
+        n_cov = jnp.sum(covered)
+        n_cov_dropped = jnp.zeros((), n_cov.dtype)
     color = jnp.clip(antialias(albedo, clip, faces, fid, height, width), 0.0, 1.0)
     color = alpha * color + (1.0 - alpha) * bg_color
 
@@ -158,6 +229,8 @@ def render_textured(
         "normal": (normal + 1.0) / 2.0,
         "cosinesview": cosv,
         "face_id": fid,
+        "n_cov": n_cov,
+        "n_cov_dropped": n_cov_dropped,
     }
 
 

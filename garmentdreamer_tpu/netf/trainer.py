@@ -90,6 +90,13 @@ class NeTFConfig:
     K: int = 1
     K2: int = 1
     uncond_p: float = 0.1
+    # Fraction of the render's H*W the VSD/IF2 texture query is compacted to
+    # (renderer.render_textured cover_cap): the hash-grid row costs dominate
+    # the refinement step (scripts/vsd_breakdown.py) and the garment covers
+    # well under the full frame at the reference orbit radii. Coverage
+    # overflow renders those pixels as background and is surfaced by a
+    # deferred canary warning after the loop. 0 disables compaction.
+    vsd_cover_frac: float = 0.625
     t5_iters: int = -1
     texture_resolution: int = 1024
     enhance: bool = True  # run the VSD refinement (reconstruction.py:26-28)
@@ -410,6 +417,20 @@ class NeTFTrainer:
         # and the K-per-K2 LoRA updates become lax.cond/fori_loop on the
         # in-scan step counter (reference loop: netf/trainer.py:158-262).
         total = cfg.iters
+        hw = res * res
+        S = self.mesh_devices if self.mesh is not None else 1
+        cap = 0
+        if cfg.vsd_cover_frac and cfg.vsd_cover_frac < 1.0:
+            gran = 1024 * S
+            cap = min(hw, -(-int(hw * cfg.vsd_cover_frac) // gran) * gran)
+        if S > 1:
+            # the per-device split rides the compacted query; cap == hw
+            # degenerates to sharding the full-grid query (still exact)
+            cap = cap or hw
+            if cap % S:
+                raise ValueError(
+                    f"render {res}^2 pixel count not divisible by {S} devices"
+                )
         pose_list = []
         for _ in range(total):
             ver = self.np_rng.randint(-65, 35)
@@ -432,10 +453,9 @@ class NeTFTrainer:
         lora_flags = jnp.asarray(steps_np % cfg.K2 == 0)
         self.rng, base_key = jax.random.split(self.rng)
 
-        @conv_jit
-        def run_chunk(tex_params, opt_state, accum, train, lora_state,
-                      frozen, sd_p, key, poses_c, pose16_c, steps_c,
-                      tex_flags_c, lora_flags_c):
+        def chunk_core(tex_params, opt_state, accum, train, lora_state,
+                       frozen, sd_p, key, poses_c, pose16_c, steps_c,
+                       tex_flags_c, lora_flags_c):
             def body(carry, xs):
                 tex_params, opt_state, accum, train, lora_state = carry
                 pose, pose16, step, tex_flag, lora_flag = xs
@@ -447,14 +467,22 @@ class NeTFTrainer:
                         p, verts, faces, pose, proj, res, res, field,
                         max_tiles_per_tri=cfg.max_tiles_per_tri,
                         max_per_tile=cfg.max_per_tile,
+                        cover_cap=cap,
+                        shard_axis="pix" if S > 1 else None, n_shards=S,
                     )
                     loss, latents = guidance.train_step(
                         qp, out["image"][None], text, pose16, r1, params=sd_p
                     )
-                    return loss, latents
+                    return loss, (latents, out["n_cov"], out["n_cov_dropped"])
 
-                (loss, latents), grads = jax.value_and_grad(
+                (loss, (latents, n_cov, n_drop)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(tex_params)
+                if S > 1:
+                    # each device saw only its cover-slice of the query; the
+                    # total texture gradient is the sum of the partials
+                    # (everything downstream of the psum'd image is
+                    # replicated, so loss/latents/LoRA grads already agree)
+                    grads = jax.lax.psum(grads, "pix")
                 accum = jax.tree_util.tree_map(jnp.add, accum, grads)
 
                 def tex_apply(args):
@@ -488,29 +516,61 @@ class NeTFTrainer:
                     lora_flag, lora_updates, lambda a: a,
                     (train, lora_state),
                 )
-                return (tex_params, opt_state, accum, train, lora_state), loss
+                return (tex_params, opt_state, accum, train, lora_state), (
+                    loss, n_cov, n_drop)
 
             return jax.lax.scan(
                 body, (tex_params, opt_state, accum, train, lora_state),
                 (poses_c, pose16_c, steps_c, tex_flags_c, lora_flags_c),
             )
 
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from garmentdreamer_tpu.parallel.dp import shard_map_nocheck
+
+            # everything enters replicated; devices diverge only in which
+            # cover-slice they query, and the per-step grad psum restores
+            # replication before any carry is updated
+            run_chunk = conv_jit(
+                shard_map_nocheck(
+                    chunk_core, mesh=self.mesh,
+                    in_specs=(P(),) * 13, out_specs=P(),
+                )
+            )
+        else:
+            run_chunk = conv_jit(chunk_core)
+
         accum = jax.tree_util.tree_map(jnp.zeros_like, self.tex_params)
         carry = (self.tex_params, self.tex_opt_state, accum, train_p,
                  lora_opt_state)
         chunk = max(1, min(cfg.vsd_scan_chunk, total)) if total else 1
         i = 0
+        pending_cov = []  # deferred: one device sync for all chunks at the end
         while i < total:
             # a ragged tail compiles a second (shorter-scan) program once;
             # every full chunk replays the same cached executable
             n = min(chunk, total - i)
-            carry, _ = run_chunk(
+            carry, (_, n_covs, n_drops) = run_chunk(
                 *carry, frozen_p, sd_params, base_key,
                 poses[i:i + n], pose16s[i:i + n], steps[i:i + n],
                 tex_apply_flags[i:i + n], lora_flags[i:i + n],
             )
+            pending_cov.append((n_covs.max(), n_drops.max()))
             i += n
         self.tex_params, self.tex_opt_state, accum, train_p, lora_opt_state = carry
+        if cap and pending_cov:
+            max_cov = max(int(c) for c, _ in pending_cov)
+            max_drop = max(int(d) for _, d in pending_cov)
+            if max_drop > 0:
+                import warnings
+
+                warnings.warn(
+                    f"VSD cover_cap={cap} overflowed: up to {max_drop} covered "
+                    f"pixels/view rendered as background (max coverage "
+                    f"{max_cov}/{hw}); raise vsd_cover_frac above "
+                    f"{max_cov / hw:.2f}"
+                )
 
         self.q_params = merge(train_p, frozen_p)
         self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))
@@ -533,20 +593,24 @@ class NeTFTrainer:
         res = cfg.render_resolution
         opt = self.tex_opt
         init_params = jax.tree_util.tree_map(lambda x: x, self.tex_params)
+        hw = res * res
+        cap = 0
+        if cfg.vsd_cover_frac and cfg.vsd_cover_frac < 1.0:
+            cap = min(hw, -(-int(hw * cfg.vsd_cover_frac) // 1024) * 1024)
 
         @conv_jit
         def if2_step(params, pose, azim, rng):
             ori = render_textured(
                 init_params, verts, faces, pose, proj, res, res, field,
                 max_tiles_per_tri=cfg.max_tiles_per_tri,
-                max_per_tile=cfg.max_per_tile,
+                max_per_tile=cfg.max_per_tile, cover_cap=cap,
             )["image"]
 
             def loss_fn(p):
                 out = render_textured(
                     p, verts, faces, pose, proj, res, res, field,
                     max_tiles_per_tri=cfg.max_tiles_per_tri,
-                    max_per_tile=cfg.max_per_tile,
+                    max_per_tile=cfg.max_per_tile, cover_cap=cap,
                 )
                 from garmentdreamer_tpu.guidance.if2 import direction_index
 

@@ -61,8 +61,12 @@ def _table_lookup_bwd(n_rows, idx, ct):
 
     # chunk size bounds the (CH, 128) one-hot temp at 512 MB f32: a 2 GB
     # temp measured fine standalone but regressed the SD-scale VSD program
-    # 3x (HBM pressure -> spills) with the UNet/VAE/LoRA resident
-    CH = 1 << 20
+    # 3x (HBM pressure -> spills) with the UNet/VAE/LoRA resident. Small
+    # backwards (tests, dryruns, per-device strip slices) must NOT pad up to
+    # a full chunk -- a 8k-row backward padded to 1M rows did 128x redundant
+    # one-hot work, which on the 8-virtual-device 1-core CPU mesh stretched a
+    # tiny fit step past XLA's 40 s collective-rendezvous termination.
+    CH = min(1 << 20, max(128, 1 << (M - 1).bit_length()))
     n_chunks = max(1, -(-M // CH))
     pad = n_chunks * CH - M
     if pad:

@@ -119,6 +119,49 @@ class TestRenderTextured:
         gt = g["encoder"]["params"]["table"]
         assert float(jnp.abs(gt).max()) > 0
 
+    def test_cover_cap_matches_full_render(self):
+        """cover_cap >= true coverage reproduces the full-grid render
+        bit-exactly (the compacted query touches exactly the covered pixels);
+        an overflowing cap reports drops and stays finite."""
+        v, f = sphere_mesh(10, 6)
+        field = TextureField(jax.random.PRNGKey(0))
+        pose = jnp.asarray(orbit_pose(0.0, 0.0, 3.0))
+        proj = jnp.asarray(perspective(49.1))
+        kw = dict(max_per_tile=64, max_tiles_per_tri=16)
+        full = render_textured(
+            field.params, jnp.asarray(v), jnp.asarray(f), pose, proj,
+            32, 32, field, **kw,
+        )
+        n_cov = int(full["n_cov"])
+        assert n_cov > 8
+        capped = render_textured(
+            field.params, jnp.asarray(v), jnp.asarray(f), pose, proj,
+            32, 32, field, cover_cap=n_cov + 3, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(capped["image"]), np.asarray(full["image"])
+        )
+        assert int(capped["n_cov_dropped"]) == 0
+
+        # gradients flow through the compacted path to the hash table
+        def loss(p):
+            out = render_textured(
+                p, jnp.asarray(v), jnp.asarray(f), pose, proj, 32, 32,
+                field, cover_cap=n_cov + 3, **kw,
+            )
+            return jnp.mean(out["image"])
+
+        g1 = jax.grad(loss)(field.params)["encoder"]["params"]["table"]
+        assert float(jnp.abs(g1).max()) > 0
+
+        over = render_textured(
+            field.params, jnp.asarray(v), jnp.asarray(f), pose, proj,
+            32, 32, field, cover_cap=max(8, n_cov // 2), **kw,
+        )
+        assert int(over["n_cov_dropped"]) == n_cov - max(8, n_cov // 2)
+        img = np.asarray(over["image"])
+        assert np.isfinite(img).all() and (img >= 0).all() and (img <= 1).all()
+
     def test_fit_samples_match_full_render_interior(self):
         """render_fit_samples agrees with render_textured at every sampled
         pixel away from silhouette antialiasing: same fid/validity and the
@@ -308,6 +351,47 @@ class TestVSD:
             (changed_train if is_train else changed_base).append(k)
         assert not changed_base, f"frozen base weights moved: {changed_base[:3]}"
         assert changed_train, "no trainable leaf moved"
+
+    def test_sharded_vsd_parity(self, tmp_path):
+        """Pixel-sharded VSD refinement (mesh_devices=8) == single-device
+        train_vsd to float tolerance: each device queries its slice of the
+        covered-pixel set, the albedo image psums back together, and the
+        per-step texture-grad psum restores replication (VERDICT r4 next-1
+        applied to the stage-4 refinement loop)."""
+        from garmentdreamer_tpu.core import io as gio
+        from garmentdreamer_tpu.netf.trainer import NeTFConfig, NeTFTrainer
+
+        v, f = sphere_mesh(10, 7)
+        mesh_path = tmp_path / "mesh.obj"
+        gio.save_obj(str(mesh_path), gio.ObjMesh(vertices=v, faces=f))
+        text = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 32))
+
+        finals = []
+        for md in (0, 8):
+            g, q = self._tiny_guidance()
+            cfg = NeTFConfig(
+                iters=2, fit_tex_iters=0, render_resolution=32,
+                texture_resolution=32, batch_size_train=2,
+                max_per_tile=64, max_tiles_per_tri=16,
+                # hw=1024 < the 1024*S rounding granularity, so the sharded
+                # run exercises the cap==hw full-permutation degenerate case
+            )
+            tr = NeTFTrainer(
+                cfg, str(mesh_path), str(tmp_path), str(tmp_path / f"o{md}"),
+                guidance=g, text_embeddings=text, q_params=q,
+                mesh_devices=md,
+            )
+            tr.train_vsd()
+            finals.append(jax.tree_util.tree_map(np.asarray, tr.tex_params))
+        # tolerance: the sharded backward sums 8 per-device partial hash-grad
+        # scatters in a different order; Adam divides the ~1e-7 reorder noise
+        # by sqrt(second moment)~0 on fresh table rows, amplifying it toward
+        # the lr scale on a handful of entries (measured: 0.02% of entries,
+        # max |diff| 4.8e-3 at lr 1e-2 after 2 steps). Mean must stay tiny.
+        for a, b in zip(jax.tree_util.tree_leaves(finals[0]),
+                        jax.tree_util.tree_leaves(finals[1])):
+            np.testing.assert_allclose(b, a, atol=8e-3)
+            assert float(np.abs(b - a).mean()) < 1e-4
 
 
 @pytest.mark.slow
