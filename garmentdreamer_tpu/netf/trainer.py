@@ -571,6 +571,16 @@ class NeTFTrainer:
                     f"{max_cov}/{hw}); raise vsd_cover_frac above "
                     f"{max_cov / hw:.2f}"
                 )
+            else:
+                # always surface the measured coverage headroom: the cap is
+                # the dominant VSD-step cost knob (hash-grid rows/pixel), so
+                # the gap between max coverage and the cap is free speed
+                print(
+                    f"[vsd] max coverage {max_cov}/{hw} "
+                    f"({max_cov / hw:.2f} of frame) under cover_cap={cap} "
+                    f"(vsd_cover_frac={cfg.vsd_cover_frac}); no drops",
+                    flush=True,
+                )
 
         self.q_params = merge(train_p, frozen_p)
         self.export(os.path.join(self.outdir, "final_mesh_finetuned.obj"))

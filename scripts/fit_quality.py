@@ -299,6 +299,11 @@ def main():
                     help="deformer it1:it2 schedules, comma list")
     ap.add_argument("--lrs", default="0.001",
                     help="deformer lr_vertices cells, comma list")
+    ap.add_argument("--deformer-H", type=int, default=1024,
+                    help="deformer grid render resolution (512 = ~4x "
+                    "cheaper sweep; the quality-vs-iteration CURVE is the "
+                    "deliverable and mask/normal losses scale with coverage "
+                    "fraction, not absolute pixels)")
     ap.add_argument(
         "--oracle", action="store_true",
         help="fit-PSNR ceiling probes instead of the default grid "
@@ -325,6 +330,7 @@ def main():
                  iter_counts=tuple(int(x) for x in a.fit_iters.split(",")))
     if "deformer" not in skip:
         deformer_grid(
+            H=a.deformer_H,
             schedules=tuple(
                 tuple(int(x) for x in s.split(":"))
                 for s in a.schedules.split(",")

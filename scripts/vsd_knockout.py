@@ -130,6 +130,13 @@ def run_variant(name, tmp, mesh_path, vsd, text, q_params):
         kw["vsd_cover_frac"] = 0.0
     elif name == "cover375":
         kw["vsd_cover_frac"] = 0.375
+    elif name == "strip8":
+        # one-of-8-shards equivalent: the per-device slice of the default
+        # 0.625 cover cap. The sharded step (mesh_devices=8) runs exactly
+        # this much hash-grid work per device plus one ~67 MB grad psum
+        # (~2 ms over v5e ICI), so this cell + psum is the projected 8-chip
+        # VSD step latency (same method as scripts/bench_strip_rate.py).
+        kw["vsd_cover_frac"] = 0.625 / 8
     elif name != "full":
         raise ValueError(name)
 
